@@ -1,0 +1,142 @@
+"""Configuration dataclasses for the bayeslms_tpu framework.
+
+The config surface mirrors the reference recipe flags (BayesLMs
+`steps/pytorchnn/train.py:25-105` and `run_nnlm_ami_{lstm,tm}.sh`), expressed
+as typed dataclasses instead of bash/argparse string plumbing:
+
+- ``uncertainty``       -> --uncertainty {none,Bayesian,Gaussian,Variational}
+- ``t_bayes_pos``       -> --T_bayes_pos {none,FFN,MHA,EMB}
+- ``l_bayes_pos``       -> --L_bayes_pos 0-5 (gate row-slice; 5 = whole layer)
+- ``t_gauss_pos``       -> --T_gauss_pos 0-4 (GPNN type; 4 = random-feature GPNN2)
+- ``l_gauss_pos``       -> --L_gauss_pos 2-4 digit string (gate | gpnn type | ...)
+- ``t_v_pos``           -> --T_v_pos 0-3 (variational layer placement)
+- ``l_v_pos``           -> --L_v_pos 2-digit string (per-layer variational flag)
+
+Everything here is hashable / static so model configs can be closed over by
+``jax.jit`` without retriggering compilation on every step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + uncertainty-position configuration.
+
+    Defaults follow the AMI recipes: LSTM 1024/1024 x2
+    (run_nnlm_ami_lstm.sh:19-23) or Transformer 512/4096 x6
+    (run_nnlm_ami_tm.sh:17-21).
+    """
+
+    # Architecture
+    model: str = "LSTM"  # LSTM | GRU | RNN_TANH | RNN_RELU | Transformer
+    vocab_size: int = 0
+    emsize: int = 1024
+    nhid: int = 1024
+    nlayers: int = 2
+    nhead: int = 8
+    dropout: float = 0.2
+    tied: bool = True
+
+    # Uncertainty switches (reference flag surface)
+    uncertainty: str = "none"  # none | Bayesian | Gaussian | Variational
+    t_bayes_pos: str = "none"  # none | FFN | MHA | EMB
+    l_bayes_pos: int = 0  # 0 none, 1-4 gate slice (i,f,g,o), 5 whole-layer KL
+    t_gauss_pos: int = 3  # 0-3 GPNN type, 4 GPNN2, >4 none
+    l_gauss_pos: str = "00"  # digit0 gate 1-7, digit1 gpnn type 0-4, len 2-4
+    t_v_pos: int = 0  # 0 none, 1 layer0, 2 layer1, 3 layers 0+1
+    l_v_pos: str = "00"  # per-layer variational flag, e.g. "11"
+
+    # Whether GP layers actually draw weight/coef samples during training.
+    # The reference GPNN ships with `self.sample = False` (model.py:1800) so
+    # plain `train.py` training is deterministic-with-KL; the NAS loop toggles
+    # the flag on. We expose it as an explicit config switch.
+    gp_sample: bool = False
+
+    # Numerics: params are kept in fp32 for optimizer parity; compute dtype
+    # can be bf16 on TPU for MXU throughput.
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    # Variational transformer layers gate their noise/KL on this sequence
+    # length (reference hardcodes 100: model.py:2756-2759, :2789).
+    v_seq_len: int = 100
+
+    @property
+    def is_transformer(self) -> bool:
+        return self.model == "Transformer"
+
+    def validate(self) -> "ModelConfig":
+        if self.model not in ("LSTM", "GRU", "RNN_TANH", "RNN_RELU", "Transformer"):
+            raise ValueError(f"unknown model type {self.model!r}")
+        if self.uncertainty not in ("none", "Bayesian", "Gaussian", "Variational"):
+            raise ValueError(f"unknown uncertainty {self.uncertainty!r}")
+        if self.t_bayes_pos not in ("none", "FFN", "MHA", "EMB"):
+            raise ValueError(f"unknown t_bayes_pos {self.t_bayes_pos!r}")
+        if not 0 <= self.l_bayes_pos <= 5:
+            raise ValueError("l_bayes_pos must be in [0, 5]")
+        if self.vocab_size <= 0:
+            raise ValueError("vocab_size must be set (> 0)")
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop configuration (reference train.py:64-105, :464-512)."""
+
+    lr: float = 0.1
+    momentum: float = 0.9
+    batch_size: int = 32
+    eval_batch_size: int = 20
+    epochs: int = 32
+    seq_len: int = 100
+    clip: float = 1.0
+    seed: int = 1111
+    log_interval: int = 200
+    # Plateau scheduler: halve LR + reload best ckpt on non-improving epoch;
+    # early-stop after `max_plateaus` plateaus (train.py:498-512).
+    lr_decay: float = 0.5
+    max_plateaus: int = 8
+    # Data-fraction ablation (reference `--mark base-0.{5,25,1,05}set`,
+    # train.py:151-165). 1.0 = full training set.
+    data_fraction: float = 1.0
+    # Prior / finetune-from-prior workflow (train.py:239-265).
+    prior: bool = False
+    prior_path: Optional[str] = None
+    save: str = "model.ckpt"
+    # Parallelism: number of data-parallel shards (mesh 'dp' axis). The global
+    # batch is sharded over this axis; 1 = single chip.
+    dp_shards: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RescoreConfig:
+    """N-best rescoring configuration (lmrescore_nbest_pytorchnn_cuda.sh)."""
+
+    nbest: int = 20
+    acwt: float = 0.1
+    nn_weight: float = 1.0  # `itpr` weight between NN score and n-gram score
+    inter_flag: int = 0  # 0 none, 1 logit-level interp, 2 score-level interp
+    inter_alpha: float = 0.8
+    # LSTM cross-utterance hidden-state carry-over
+    # (compute_sentence_scores_bayes_jianwei.py:261-274).
+    carry_over: bool = True
+    # Padded-batch scorer controls (TPU replacement of the per-hyp loop).
+    max_hyp_len: int = 128
+    batch_size: int = 64
+    # WER sweep over LM-scale weights (local/score_asclite.sh:10-11).
+    min_lmwt: int = 7
+    max_lmwt: int = 15
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def model_config_from_dict(d: dict) -> ModelConfig:
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    return ModelConfig(**{k: v for k, v in d.items() if k in fields})

@@ -1,0 +1,596 @@
+"""Recurrent language models: standard / Bayesian / GP / Variational cores.
+
+TPU re-design of the reference LSTM-family containers:
+
+- ``RNNModel`` (model.py:23-73), ``BayesRNNModel``+``Bayes2LSTM``
+  (model.py:179-229, :585-828), ``BayesLSTM`` single-layer variant
+  (model.py:364-582), ``GaussRNNModel``+``GPLSTM``+``GPLSTMCell``
+  (model.py:1317-1777), ``VariationalRNNModel``+``VariationalLSTM``+
+  ``VLSTMCell``+``VNN`` (model.py:2373-2579).
+
+All recurrences run as ``lax.scan`` with input projections hoisted into one
+big MXU matmul (see ops/lstm.py) — replacing both the cuDNN fused kernel and
+the reference's per-timestep python loops. Weight sampling happens ONCE per
+call (= per optimizer step), outside the scan, matching the reference's
+flat_parameters semantics (model.py:705-732).
+
+Containers sow KL terms into the ``losses`` collection following exactly the
+training-loss dispatch of train.py:335-399.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..ops import gaussian
+from ..ops.lstm import LSTMParams, gru_layer, lstm_layer, rnn_layer
+from . import initializers as tinit
+from .layers import GPNN, GPNN2, VNN
+
+Hidden = Tuple[jax.Array, jax.Array]  # (h, c) each (nlayers, B, H)
+
+
+def init_hidden(nlayers: int, batch: int, nhid: int, dtype=jnp.float32) -> Hidden:
+    z = jnp.zeros((nlayers, batch, nhid), dtype=dtype)
+    return (z, z)
+
+
+def _rnn_param_init(nhid: int):
+    return tinit.uniform(1.0 / math.sqrt(nhid))
+
+
+def _layer_params(mod: nn.Module, name: str, gates: int, in_size: int, nhid: int) -> LSTMParams:
+    init = _rnn_param_init(nhid)
+    return LSTMParams(
+        w_ih=mod.param(f"{name}_w_ih", init, (gates * nhid, in_size)),
+        w_hh=mod.param(f"{name}_w_hh", init, (gates * nhid, nhid)),
+        b_ih=mod.param(f"{name}_b_ih", init, (gates * nhid,)),
+        b_hh=mod.param(f"{name}_b_hh", init, (gates * nhid,)),
+    )
+
+
+class StandardRNNCore(nn.Module):
+    """Multi-layer LSTM/GRU/RNN with inter-layer dropout (torch nn.LSTM
+    semantics: dropout on every layer's output except the last)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        cfg = self.cfg
+        gates = {"LSTM": 4, "GRU": 3, "RNN_TANH": 1, "RNN_RELU": 1}[cfg.model]
+        h0, c0 = hidden
+        hs, cs = [], []
+        out = x
+        for l in range(cfg.nlayers):
+            in_size = cfg.emsize if l == 0 else cfg.nhid
+            p = _layer_params(self, f"l{l}", gates, in_size, cfg.nhid)
+            if cfg.model == "LSTM":
+                out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask)
+                cs.append(cT)
+            elif cfg.model == "GRU":
+                out, hT = gru_layer(out, h0[l], p, step_mask=step_mask)
+                cs.append(jnp.zeros_like(hT))
+            else:
+                out, hT = rnn_layer(
+                    out, h0[l], p, "tanh" if cfg.model == "RNN_TANH" else "relu",
+                    step_mask=step_mask,
+                )
+                cs.append(jnp.zeros_like(hT))
+            hs.append(hT)
+            if l < cfg.nlayers - 1 and cfg.dropout > 0:
+                out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        return out, (jnp.stack(hs), jnp.stack(cs))
+
+
+class BayesLSTMCore(nn.Module):
+    """Two-layer LSTM with Gaussian gate-slice posteriors.
+
+    ``both_layers=True`` follows ``Bayes2LSTM`` (model.py:585-828, the variant
+    used by BayesRNNModel): positions 1-4 sample the [i,f,g,o] gate row-slice
+    of BOTH layers but the KL covers layer 1 only (model.py:737-781);
+    position 5 samples nothing and contributes the summed-means KL quirk.
+
+    ``both_layers=False`` follows ``BayesLSTM`` (model.py:364-582): positions
+    1-4 sample layer 1 only; position 5 samples the whole of layer 2 with
+    gate-size lgstds while its KL reads layer-1 means.
+
+    No inter-layer dropout in either variant (the reference passes dropout=0
+    to the fused kernel, model.py:812).
+    """
+
+    cfg: ModelConfig
+    both_layers: bool = True
+
+    @nn.compact
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        cfg = self.cfg
+        H, in1, in2 = cfg.nhid, cfg.emsize, cfg.nhid
+        pos = cfg.l_bayes_pos
+        init = _rnn_param_init(H)
+        lg = gaussian.lgstd_init(1.0 / math.sqrt(H))
+
+        means = []
+        for l, in_size in ((1, in1), (2, in2)):
+            means.append(
+                dict(
+                    w_ih=self.param(f"weight_ih_mean_{l}", init, (4 * H, in_size)),
+                    w_hh=self.param(f"weight_hh_mean_{l}", init, (4 * H, H)),
+                    b_ih=self.param(f"bias_ih_mean_{l}", init, (4 * H,)),
+                    b_hh=self.param(f"bias_hh_mean_{l}", init, (4 * H,)),
+                )
+            )
+
+        lgstds = {}
+        if 1 <= pos <= 4:
+            layers_with_lgstd = (1, 2) if self.both_layers else (1,)
+            for l in layers_with_lgstd:
+                in_size = in1 if l == 1 else in2
+                lgstds[l] = dict(
+                    w_hh=self.param(f"weight_hh_lgstd_{l}", lg, (H, H)),
+                    w_ih=self.param(f"weight_ih_lgstd_{l}", lg, (H, in_size)),
+                    b_hh=self.param(f"bias_hh_lgstd_{l}", lg, (H,)),
+                    b_ih=self.param(f"bias_ih_lgstd_{l}", lg, (H,)),
+                )
+        elif pos == 5:
+            layers_with_lgstd = (1, 2) if self.both_layers else (1,)
+            for l in layers_with_lgstd:
+                in_size = in1 if l == 1 else in2
+                lgstds[l] = dict(
+                    w_hh=self.param(f"weight_hh_lgstd_{l}", lg, (4 * H, H)),
+                    w_ih=self.param(f"weight_ih_lgstd_{l}", lg, (4 * H, in_size)),
+                    b_hh=self.param(f"bias_hh_lgstd_{l}", lg, (4 * H,)),
+                    b_ih=self.param(f"bias_ih_lgstd_{l}", lg, (4 * H,)),
+                )
+
+        # --- sample-and-add into the gate slice (flat_parameters semantics,
+        # model.py:705-732): ONE epsilon per call, drawn outside the scan.
+        eff = [dict(m) for m in means]
+        if not deterministic and 1 <= pos <= 4:
+            rows = slice((pos - 1) * H, pos * H)
+            sampled_layers = (0, 1) if self.both_layers else (0,)
+            for li in sampled_layers:
+                lp = lgstds[li + 1]
+                key = self.make_rng("sample")
+                ks = jax.random.split(key, 4)
+                for i, (pname, lname) in enumerate(
+                    (("w_hh", "w_hh"), ("w_ih", "w_ih"), ("b_hh", "b_hh"), ("b_ih", "b_ih"))
+                ):
+                    diff = gaussian.sample_diff(ks[i], lp[lname])
+                    eff[li][pname] = eff[li][pname].at[rows].add(diff)
+        elif not deterministic and pos == 5 and not self.both_layers:
+            # BayesLSTM pos 5: whole-layer sample added to LAYER 2 weights
+            # using the (gate-size) layer-1 lgstds (model.py:483-489).
+            lp = lgstds[1]
+            ks = jax.random.split(self.make_rng("sample"), 4)
+            eff[1]["w_hh"] = eff[1]["w_hh"] + gaussian.sample_diff(ks[0], lp["w_hh"])
+            eff[1]["w_ih"] = eff[1]["w_ih"] + gaussian.sample_diff(ks[1], lp["w_ih"])
+            eff[1]["b_hh"] = eff[1]["b_hh"] + gaussian.sample_diff(ks[2], lp["b_hh"])
+            eff[1]["b_ih"] = eff[1]["b_ih"] + gaussian.sample_diff(ks[3], lp["b_ih"])
+
+        h0, c0 = hidden
+        out = x
+        hs, cs = [], []
+        for l in range(2):
+            p = LSTMParams(eff[l]["w_ih"], eff[l]["w_hh"], eff[l]["b_ih"], eff[l]["b_hh"])
+            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask)
+            hs.append(hT)
+            cs.append(cT)
+
+        self.sow("losses", "kl", self.kl_value(means, lgstds))
+        return out, (jnp.stack(hs), jnp.stack(cs))
+
+    def kl_value(self, means, lgstds):
+        """KL dispatch of Bayes(2)LSTM.kl_divergence (model.py:492-529,
+        :737-781): mean-reduced closed form vs N(0,1), layer-1 slice only."""
+        cfg = self.cfg
+        H, pos = cfg.nhid, cfg.l_bayes_pos
+        if not 1 <= pos <= 5:
+            return jnp.asarray(0.0)
+        m1, lp = means[0], lgstds[1]
+        if 1 <= pos <= 4:
+            rows = slice((pos - 1) * H, pos * H)
+            w_mean = jnp.concatenate([m1["w_hh"][rows], m1["w_ih"][rows]], -1)
+            w_lgstd = jnp.concatenate([lp["w_hh"], lp["w_ih"]], -1)
+            b_mean = jnp.concatenate([m1["b_hh"][rows], m1["b_ih"][rows]], -1)
+            b_lgstd = jnp.concatenate([lp["b_hh"], lp["b_ih"]], -1)
+        else:  # pos == 5
+            w_mean = jnp.concatenate([m1["w_hh"], m1["w_ih"]], -1)
+            w_lgstd = jnp.concatenate([lp["w_hh"], lp["w_ih"]], -1)
+            b_mean = jnp.concatenate([m1["b_hh"], m1["b_ih"]], -1)
+            b_lgstd = jnp.concatenate([lp["b_hh"], lp["b_ih"]], -1)
+            if self.both_layers and 2 in lgstds:
+                # Bayes2LSTM pos-5 quirk: add layer-2 hh + layer-1 ih
+                # (model.py:752-756).
+                m2, lp2 = means[1], lgstds[2]
+                w_mean = w_mean + jnp.concatenate([m2["w_hh"], m1["w_ih"]], -1)
+                w_lgstd = w_lgstd + jnp.concatenate([lp2["w_hh"], lp["w_ih"]], -1)
+                b_mean = b_mean + jnp.concatenate([m2["b_hh"], m1["b_ih"]], -1)
+                b_lgstd = b_lgstd + jnp.concatenate([lp2["b_hh"], lp["b_ih"]], -1)
+        return gaussian.kl_std_normal(w_mean, w_lgstd) + gaussian.kl_std_normal(
+            b_mean, b_lgstd
+        )
+
+
+class GPLSTMCell(nn.Module):
+    """One GP-activation LSTM layer run as a scan.
+
+    Reference: ``GPLSTMCell`` (model.py:1683-1777). ``gate_type`` 1-4
+    substitutes the corresponding gate with a GP unit over cat(x_t, h_{t-1});
+    5 transforms the cell state; 6/7 replace the hidden/input projection with
+    a 4H-wide GP unit. ``gpnn_type`` 0-3 selects GPNN (sampled once per
+    sequence); 4 selects GPNN2 applied to the pre-activation gate value
+    (resampled every timestep during training).
+
+    Gate bias quirk kept for parity: the reference adds ``bias_ih`` to BOTH
+    projections and never uses ``bias_hh`` (model.py:1749-1753).
+    """
+
+    input_size: int
+    hidden_size: int
+    gate_type: int
+    gpnn_type: int
+    sample_enabled: bool = False
+
+    def setup(self):
+        H, in_size = self.hidden_size, self.input_size
+        init = _rnn_param_init(H)
+        self.weights_ih = self.param("weights_ih", init, (4 * H, in_size))
+        self.bias_ih = self.param("bias_ih", tinit.zeros(), (4 * H,))
+        self.weights_hh = self.param("weights_hh", init, (4 * H, H))
+        self.bias_hh = self.param("bias_hh", tinit.zeros(), (4 * H,))
+
+        g, t = self.gate_type, self.gpnn_type
+        if t <= 3:
+            if g == 3:
+                self.gpnn = GPNN(H + in_size, H, gpnn_type=t, sample_enabled=self.sample_enabled)
+            elif g in (1, 4):
+                self.gpnn = GPNN(
+                    H + in_size, H, act_set=("sigmoid", "tanh", "relu"),
+                    gpnn_type=t, sample_enabled=self.sample_enabled,
+                )
+            elif g == 2:
+                self.gpnn = GPNN(
+                    H + in_size, H, act_set=("sigmoid",),
+                    gpnn_type=t, sample_enabled=self.sample_enabled,
+                )
+            elif g == 5:
+                self.gpnn = GPNN(H, H, gpnn_type=t, sample_enabled=self.sample_enabled)
+            elif g in (6, 7):
+                self.gpnn = GPNN(in_size, 4 * H, gpnn_type=t, sample_enabled=self.sample_enabled)
+        elif t == 4:
+            out = H if g <= 5 else 4 * H
+            self.gpnn = GPNN2(H, out, act_set=("sigmoid", "relu", "tanh"))
+
+    def __call__(self, x, hc, deterministic: bool = True, step_mask=None):
+        H = self.hidden_size
+        g, t = self.gate_type, self.gpnn_type
+        dtype = x.dtype
+        T, B, _ = x.shape
+        h0, c0 = hc
+
+        w_ih_t = self.weights_ih.T.astype(dtype)
+        w_hh_t = self.weights_hh.T.astype(dtype)
+        b_ih = self.bias_ih.astype(dtype)
+
+        # Hoist all x-only projections over the full sequence (MXU-friendly).
+        if g == 7 and t <= 3:
+            drawn = self.gpnn.draw(deterministic)
+            gp_x = self.gpnn.apply_drawn(x, *drawn, self.gpnn.act_set)
+            xg = gp_x  # gates = gpnn(x) + h @ W_hh + b_ih
+        else:
+            xg = (x.reshape(T * B, -1) @ w_ih_t + b_ih).reshape(T, B, 4 * H)
+
+        # GPNN over cat(x, h): split its weight so the x part is hoisted too.
+        gp_pre_x = None
+        drawn = None
+        if t <= 3 and g in (1, 2, 3, 4, 5, 6):
+            drawn = self.gpnn.draw(deterministic)  # one sample per sequence
+            w, b, coef = drawn
+            if g in (1, 2, 3, 4):
+                in_size = self.input_size
+                w_x, w_h = w[:, :in_size], w[:, in_size:]
+                gp_pre_x = x @ w_x.T.astype(dtype) + b.astype(dtype)
+                drawn = (w_h, coef)
+            elif g == 6:
+                gp_pre_x = None  # gpnn(h) only
+                drawn = (w, b, coef)
+            elif g == 5:
+                drawn = (w, b, coef)
+
+        # Pre-read GPNN2 params into locals so the scan closure is pure (no
+        # module-scope access inside the traced loop body).
+        gpnn2_key = None
+        gp2 = None
+        if t == 4:
+            if not deterministic:
+                gpnn2_key = self.make_rng("sample")
+            gp2 = (
+                self.gpnn.frequency_mean,
+                self.gpnn.frequency_lgstd,
+                self.gpnn.coef_kernel,
+                self.gpnn.coef_bias,
+                self.gpnn.act_set,
+                self.gpnn.n_mc_terms,
+            )
+
+        act_set = self.gpnn.act_set if hasattr(self, "gpnn") else ()
+
+        def gp2_apply(v, step):
+            if t != 4:
+                return v
+            f_mean, f_lgstd, ck, cb, acts, n_mc = gp2
+            if gpnn2_key is None:
+                freq = f_mean
+            else:
+                k = jax.random.fold_in(gpnn2_key, step)
+                freq = f_mean + gaussian.sample_diff(k, f_lgstd)
+            out = v @ freq.astype(v.dtype)
+            acc = out  # skip connection
+            from .layers import ACTS as _ACTS
+
+            for act in acts:
+                acc = acc + _ACTS[act](out)
+            acc = acc / math.sqrt(n_mc)
+            return acc @ ck.astype(v.dtype) + cb.astype(v.dtype)
+
+        from .layers import ACTS
+
+        def step_fn(carry, xg_t, gpx_t, step, m_t=None):
+            h, c = carry
+            if g == 6 and t <= 3:
+                w, b, coef = drawn
+                gates = xg_t + GPNN.apply_drawn(h, w, b, coef, act_set)
+            else:
+                gates = xg_t + h @ w_hh_t + b_ih
+            i, f, gg, o = jnp.split(gates, 4, axis=-1)
+
+            if t <= 3 and g in (1, 2, 3, 4):
+                w_h, coef = drawn
+                pre = gpx_t + h @ w_h.T.astype(dtype)
+                gp_out = None
+                for ai, act in enumerate(act_set):
+                    term = ACTS[act](pre) * coef[ai].astype(dtype)
+                    gp_out = term if gp_out is None else gp_out + term
+                i = gp_out if g == 1 else jax.nn.sigmoid(i)
+                f = gp_out if g == 2 else jax.nn.sigmoid(f)
+                gg = gp_out if g == 3 else jnp.tanh(gg)
+                o = gp_out if g == 4 else jax.nn.sigmoid(o)
+            elif t == 4:
+                i = gp2_apply(i, step) if g == 1 else jax.nn.sigmoid(i)
+                f = gp2_apply(f, step) if g == 2 else jax.nn.sigmoid(f)
+                gg = gp2_apply(gg, step) if g == 3 else jnp.tanh(gg)
+                o = gp2_apply(o, step) if g == 4 else jax.nn.sigmoid(o)
+            else:
+                i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+                gg = jnp.tanh(gg)
+
+            if g == 5:
+                if t <= 3:
+                    w, b, coef = drawn
+                    c = GPNN.apply_drawn(c, w, b, coef, act_set)
+                else:
+                    c = gp2_apply(c, step)
+
+            cn = f * c + i * gg
+            hn = o * jnp.tanh(cn)
+            if m_t is not None:
+                keep = m_t[:, None].astype(hn.dtype)
+                hn = keep * hn + (1.0 - keep) * carry[0]
+                cn = keep * cn + (1.0 - keep) * carry[1]
+            return (hn, cn), hn
+
+        steps = jnp.arange(T)
+        gpx = gp_pre_x if gp_pre_x is not None else jnp.zeros((T, 1, 1), dtype=dtype)
+        ms = step_mask if step_mask is not None else jnp.zeros((T, 0), dtype)
+
+        def body(carry, inp):
+            xg_t, gpx_t, step, m_t = inp
+            return step_fn(carry, xg_t, gpx_t, step, m_t if step_mask is not None else None)
+
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xg, gpx, steps, ms))
+        return ys, (hT, cT)
+
+    def kl(self):
+        return self.gpnn.kl() if hasattr(self, "gpnn") and self.gpnn_type <= 3 else jnp.asarray(0.0)
+
+
+class GPLSTMCore(nn.Module):
+    """GP-LSTM stack per the ``l_gauss_pos`` digit string.
+
+    Reference: ``GPLSTM`` (model.py:1609-1681). digit0 = gate type (0 = all
+    standard), digit1 = gpnn type; length 2 -> GP cell then standard layer,
+    length 3 -> standard layer then GP cell, length 4 -> GP cells in both
+    layers (digit2 = second cell's gate, digit3 unused).
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        s = cfg.l_gauss_pos
+        H, E = cfg.nhid, cfg.emsize
+        self.kind = "std" if int(s[0]) == 0 else f"len{len(s)}"
+        if self.kind == "std":
+            self.std_core = StandardRNNCore(cfg)
+        elif self.kind == "len2":
+            self.cell0 = GPLSTMCell(E, H, int(s[0]), int(s[1]), cfg.gp_sample)
+            self.std1 = _StdLSTMLayer(H, H)
+        elif self.kind == "len3":
+            self.std0 = _StdLSTMLayer(E, H)
+            self.cell1 = GPLSTMCell(H, H, int(s[0]), int(s[1]), cfg.gp_sample)
+        else:  # len4
+            self.cell0 = GPLSTMCell(E, H, int(s[0]), int(s[1]), cfg.gp_sample)
+            self.cell1 = GPLSTMCell(H, H, int(s[2]), int(s[1]), cfg.gp_sample)
+
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        h0, c0 = hidden
+        if self.kind == "std":
+            return self.std_core(x, hidden, deterministic, step_mask)
+        if self.kind == "len2":
+            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask)
+            out1, h_b, c_b = self.std1(out0, h0[1], c0[1], step_mask)
+            hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
+            kls = [self._cell_kl(self.cell0)]
+        elif self.kind == "len3":
+            out0, h_a, c_a = self.std0(x, h0[0], c0[0], step_mask)
+            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask)
+            hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
+            kls = [self._cell_kl(self.cell1)]
+        else:
+            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask)
+            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask)
+            hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
+            kls = [self._cell_kl(self.cell0), self._cell_kl(self.cell1)]
+
+        # KL dispatch (train.py:366-376): only when gate digit > 0 and gpnn
+        # type in 1..3.
+        s = self.cfg.l_gauss_pos
+        if int(s[0]) > 0 and 0 < int(s[1]) <= 3:
+            for kl in kls:
+                self.sow("losses", "kl", kl)
+        return out1, hs
+
+    @staticmethod
+    def _cell_kl(cell: GPLSTMCell):
+        return cell.kl()
+
+
+class _StdLSTMLayer(nn.Module):
+    """Single standard LSTM layer with its own params."""
+
+    input_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x, h0, c0, step_mask=None):
+        p = _layer_params(self, "l", 4, self.input_size, self.hidden_size)
+        return lstm_layer(x, h0, c0, p, step_mask=step_mask)
+
+
+class VLSTMCore(nn.Module):
+    """Variational LSTM: two cells with optional per-timestep hidden noise.
+
+    Reference: ``VariationalLSTM``/``VLSTMCell``/``VNN``
+    (model.py:2426-2579). When a layer's ``l_v_pos`` digit is 1, the hidden
+    state receives additive noise eps*exp(lgstd), eps ~ N(0, 0.1), at EVERY
+    timestep, and the noised hidden feeds the recurrence. Gate bias quirk
+    (bias_ih used twice) kept for parity (model.py:2519).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        cfg = self.cfg
+        H = cfg.nhid
+        h0, c0 = hidden
+        out = x
+        hs, cs = [], []
+        T = x.shape[0]
+        for l in range(2):
+            in_size = cfg.emsize if l == 0 else cfg.nhid
+            init = _rnn_param_init(H)
+            w_ih = self.param(f"l{l}_weights_ih", init, (4 * H, in_size))
+            b_ih = self.param(f"l{l}_bias_ih", tinit.zeros(), (4 * H,))
+            w_hh = self.param(f"l{l}_weights_hh", init, (4 * H, H))
+            _ = self.param(f"l{l}_bias_hh", tinit.zeros(), (4 * H,))  # unused (ref quirk)
+            vnn = VNN(H, name=f"l{l}_vnn")
+            vtype = int(cfg.l_v_pos[l])
+
+            dtype = out.dtype
+            xg = (out.reshape(T * out.shape[1], -1) @ w_ih.T.astype(dtype) + b_ih.astype(dtype)).reshape(
+                T, out.shape[1], 4 * H
+            )
+            w_hh_t = w_hh.T.astype(dtype)
+
+            if vtype == 1 and not deterministic:
+                noise = vnn.noise(self.make_rng("sample"), T).astype(dtype)
+            else:
+                noise = jnp.zeros((T, 1, H), dtype=dtype)
+
+            ms = step_mask if step_mask is not None else jnp.ones((T, out.shape[1]), dtype)
+
+            def step(carry, inp):
+                h, c = carry
+                xg_t, eps_t, m_t = inp
+                gates = xg_t + h @ w_hh_t + b_ih.astype(dtype)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                cn = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h_pre = jax.nn.sigmoid(o) * jnp.tanh(cn)
+                hn = h_pre + eps_t  # noise enters the recurrence
+                keep = m_t[:, None].astype(hn.dtype)
+                hn = keep * hn + (1.0 - keep) * h
+                cn = keep * cn + (1.0 - keep) * c
+                return (hn, cn), (hn, h_pre)
+
+            (hT, cT), (ys, ys_pre) = jax.lax.scan(step, (h0[l], c0[l]), (xg, noise, ms))
+            out = ys
+            hs.append(hT)
+            cs.append(cT)
+
+            # KL dispatch (train.py:377-385): per-layer when digit == 1. The
+            # reference VNN stores the PRE-noise hidden of the last timestep
+            # as "hidden_mean" (model.py:2573-2576).
+            if vtype == 1:
+                self.sow("losses", "kl", vnn.kl(ys_pre[-1]))
+
+        return out, (jnp.stack(hs), jnp.stack(cs))
+
+
+class RecurrentLM(nn.Module):
+    """Embedding -> recurrent core -> tied decoder.
+
+    Reference containers: RNNModel (model.py:23-73), BayesRNNModel (:179-229),
+    GaussRNNModel (:1317-1366), VariationalRNNModel (:2373-2423). Dropout on
+    the embedding output and on the core output; embedding/decoder init
+    U(-0.1, 0.1); decoder bias zeros; weights tied when ``tied``.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding = self.param(
+            "embedding", tinit.uniform(0.1), (cfg.vocab_size, cfg.emsize)
+        )
+        if not cfg.tied:
+            self.decoder_w = self.param(
+                "decoder_w", tinit.uniform(0.1), (cfg.vocab_size, cfg.nhid)
+            )
+        self.decoder_b = self.param("decoder_b", tinit.zeros(), (cfg.vocab_size,))
+        self.drop = nn.Dropout(cfg.dropout)
+
+        if cfg.uncertainty == "none":
+            self.core = StandardRNNCore(cfg)
+        elif cfg.uncertainty == "Bayesian":
+            self.core = BayesLSTMCore(cfg)
+        elif cfg.uncertainty == "Gaussian":
+            self.core = GPLSTMCore(cfg)
+        elif cfg.uncertainty == "Variational":
+            self.core = VLSTMCore(cfg)
+        else:
+            raise ValueError(cfg.uncertainty)
+
+    def __call__(self, tokens, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        """tokens: (T, B) int32 -> logits (T, B, V), new hidden.
+
+        ``step_mask`` (T, B) freezes recurrent state on padded steps so the
+        returned hidden equals the state at each stream's true length (used
+        by the batched rescorer's exact carry-over).
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        emb = jnp.take(self.embedding, tokens, axis=0).astype(dtype)
+        emb = self.drop(emb, deterministic=deterministic)
+        out, hidden = self.core(emb, hidden, deterministic, step_mask)
+        out = self.drop(out, deterministic=deterministic)
+        dec_w = self.embedding if cfg.tied else self.decoder_w
+        logits = out @ dec_w.T.astype(dtype) + self.decoder_b.astype(dtype)
+        return logits.astype(jnp.float32), hidden

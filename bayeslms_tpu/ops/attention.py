@@ -1,0 +1,76 @@
+"""Multi-head self-attention ops.
+
+Functional equivalents of the reference's self-built MultiheadAttention
+(model.py:836-928): q scaled by head_dim^-0.5, additive causal mask, softmax,
+attention-prob dropout, output projection. The reference materializes the
+(B*h, T, T) score matrix with bmm; here the same math is expressed with
+batched einsums that XLA fuses and tiles onto the MXU. A Pallas
+flash-attention kernel (ops/flash_attention.py) provides the long-sequence
+fast path; at the recipe's T=100 the XLA path is already compute-bound.
+
+Layout: time-major (T, B, E) to match the rest of the stack.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def causal_mask(T: int, dtype=jnp.float32) -> jax.Array:
+    """Additive (T, T) mask: 0 on/below diagonal, -inf above (model.py:148-152)."""
+    neg = jnp.asarray(-jnp.inf, dtype=dtype)
+    return jnp.where(jnp.tril(jnp.ones((T, T), dtype=bool)), jnp.asarray(0, dtype), neg)
+
+
+def multihead_attention(
+    q: jax.Array,  # (T, B, E) already projected
+    k: jax.Array,
+    v: jax.Array,
+    nhead: int,
+    attn_mask: Optional[jax.Array] = None,  # (T, S) additive
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Core scaled-dot-product attention over time-major projections."""
+    T, B, E = q.shape
+    S = k.shape[0]
+    head_dim = E // nhead
+    scaling = float(head_dim) ** -0.5
+
+    # (T, B, E) -> (B, h, T, d)
+    def split_heads(x, L):
+        return x.reshape(L, B, nhead, head_dim).transpose(1, 2, 0, 3)
+
+    qh = split_heads(q * scaling, T)
+    kh = split_heads(k, S)
+    vh = split_heads(v, S)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32)
+    if attn_mask is not None:
+        scores = scores + attn_mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, vh)
+    # (B, h, T, d) -> (T, B, E)
+    return out.transpose(2, 0, 1, 3).reshape(T, B, E)
+
+
+def sinusoidal_positional_encoding(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    """(max_len, d_model) sin/cos table (model.py:93-104)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe.astype(dtype)

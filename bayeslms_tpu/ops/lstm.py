@@ -1,0 +1,181 @@
+"""Recurrent cores as XLA scans, TPU-first.
+
+Design (replaces the reference's cuDNN `_VF.lstm` fused kernel,
+model.py:14-20, and the per-timestep python loops at model.py:1734-1742,
+:2503-2513):
+
+- The input projection ``x @ W_ih^T + b`` for the WHOLE sequence is hoisted
+  out of the recurrence into one large (T*B, in) x (in, 4H) matmul that tiles
+  onto the MXU.
+- Only the hidden-to-hidden matmul runs inside ``lax.scan``; weights are loop
+  invariants so XLA keeps a single copy and the recurrence compiles to a
+  tight on-device loop (no per-step dispatch, no host syncs).
+- Gate order follows torch LSTM convention [i, f, g, o] along the 4H axis so
+  the Bayesian gate-slice positions 1-4 (model.py:472-485) map one-to-one.
+
+Weight shapes use the torch layout — W: (4H, in), applied as x @ W^T — so
+checkpoints can round-trip with reference state dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LSTMParams(NamedTuple):
+    """One layer of LSTM weights (torch layout)."""
+
+    w_ih: jax.Array  # (4H, in)
+    w_hh: jax.Array  # (4H, H)
+    b_ih: jax.Array  # (4H,)
+    b_hh: jax.Array  # (4H,)
+
+
+def _split4(gates):
+    return jnp.split(gates, 4, axis=-1)
+
+
+def lstm_cell_step(h, c, xg_t, w_hh_t, b_hh):
+    """One LSTM step given the precomputed input projection ``xg_t``.
+
+    xg_t already contains x @ W_ih^T + b_ih; b_hh is added here (torch keeps
+    two bias vectors for cuDNN compatibility; both are used).
+    """
+    gates = xg_t + h @ w_hh_t + b_hh
+    i, f, g, o = _split4(gates)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def lstm_layer(
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    p: LSTMParams,
+    unroll: int = 8,
+    step_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-layer LSTM over a (T, B, in) sequence -> (T, B, H), hT, cT.
+
+    ``step_mask`` (T, B) freezes the carried state on padded steps: at masked
+    positions the previous (h, c) is kept, so the FINAL state equals the
+    state at each stream's true length. This is what lets the batched N-best
+    rescorer keep exact per-hypothesis hidden carry-over over padded,
+    length-bucketed batches.
+    """
+    dtype = x.dtype
+    w_ih_t = p.w_ih.T.astype(dtype)  # (in, 4H)
+    w_hh_t = p.w_hh.T.astype(dtype)  # (H, 4H)
+    b_ih = p.b_ih.astype(dtype)
+    b_hh = p.b_hh.astype(dtype)
+
+    T, B, _ = x.shape
+    xg = (x.reshape(T * B, -1) @ w_ih_t + b_ih).reshape(T, B, -1)
+
+    def step(carry, inp):
+        h, c = carry
+        if step_mask is None:
+            xg_t = inp
+            h, c = lstm_cell_step(h, c, xg_t, w_hh_t, b_hh)
+        else:
+            xg_t, m_t = inp
+            hn, cn = lstm_cell_step(h, c, xg_t, w_hh_t, b_hh)
+            keep = m_t[:, None].astype(h.dtype)
+            h = keep * hn + (1.0 - keep) * h
+            c = keep * cn + (1.0 - keep) * c
+        return (h, c), h
+
+    xs = xg if step_mask is None else (xg, step_mask)
+    (hT, cT), ys = lax.scan(step, (h0.astype(dtype), c0.astype(dtype)), xs, unroll=unroll)
+    return ys, hT, cT
+
+
+def _masked(step_mask, h_old, h_new, m_t):
+    keep = m_t[:, None].astype(h_new.dtype)
+    return keep * h_new + (1.0 - keep) * h_old
+
+
+def gru_layer(x, h0, p: LSTMParams, unroll: int = 8, step_mask: Optional[jax.Array] = None):
+    """Single-layer GRU (torch gate order r, z, n) -> (T, B, H), hT."""
+    dtype = x.dtype
+    w_ih_t = p.w_ih.T.astype(dtype)
+    w_hh_t = p.w_hh.T.astype(dtype)
+    b_ih = p.b_ih.astype(dtype)
+    b_hh = p.b_hh.astype(dtype)
+
+    T, B, _ = x.shape
+    xg = (x.reshape(T * B, -1) @ w_ih_t + b_ih).reshape(T, B, -1)
+
+    def step(h, inp):
+        xg_t, m_t = inp
+        hg = h @ w_hh_t + b_hh
+        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        hn_ = (1.0 - z) * n + z * h
+        h = _masked(step_mask, h, hn_, m_t) if step_mask is not None else hn_
+        return h, h
+
+    ms = step_mask if step_mask is not None else jnp.ones((T, B), dtype)
+    hT, ys = lax.scan(step, h0.astype(dtype), (xg, ms), unroll=unroll)
+    return ys, hT
+
+
+def rnn_layer(
+    x, h0, p: LSTMParams, nonlinearity: str = "tanh", unroll: int = 8,
+    step_mask: Optional[jax.Array] = None,
+):
+    """Vanilla RNN layer (tanh or relu)."""
+    dtype = x.dtype
+    act = jnp.tanh if nonlinearity == "tanh" else jax.nn.relu
+    w_ih_t = p.w_ih.T.astype(dtype)
+    w_hh_t = p.w_hh.T.astype(dtype)
+    T, B, _ = x.shape
+    xg = (x.reshape(T * B, -1) @ w_ih_t + p.b_ih.astype(dtype)).reshape(T, B, -1)
+    ms = step_mask if step_mask is not None else jnp.ones((T, B), dtype)
+
+    def step(h, inp):
+        xg_t, m_t = inp
+        hn_ = act(xg_t + h @ w_hh_t + p.b_hh.astype(dtype))
+        h = _masked(step_mask, h, hn_, m_t) if step_mask is not None else hn_
+        return h, h
+
+    hT, ys = lax.scan(step, h0.astype(dtype), (xg, ms), unroll=unroll)
+    return ys, hT
+
+
+def custom_cell_scan(
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    step_fn: Callable,
+    per_step: Optional[jax.Array] = None,
+    unroll: int = 1,
+):
+    """Scan an arbitrary cell ``step_fn((h, c), x_t, extra_t) -> (h, c)``.
+
+    Used by the GP-LSTM and Variational-LSTM cells whose gate substitution /
+    noise injection doesn't fit the fused fast path. ``per_step`` carries
+    per-timestep auxiliary input (e.g. pre-drawn VNN noise (T, 1, H)).
+    Replaces the reference's python per-timestep loops (model.py:1734-1742,
+    :2503-2513) with a compiled on-device loop.
+    """
+    xs = (x, per_step) if per_step is not None else (x,)
+
+    def body(carry, inp):
+        hc = step_fn(carry, *inp)
+        return hc, hc[0]
+
+    (hT, cT), ys = lax.scan(body, (h0, c0), xs, unroll=unroll)
+    return ys, hT, cT

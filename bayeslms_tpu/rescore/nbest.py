@@ -1,0 +1,84 @@
+"""N-best list I/O and batching utilities.
+
+File formats are byte-compatible with the reference scorer
+(compute_sentence_scores_bayes_jianwei.py): input lines ``utt-N word word …``
+(load_nbest, :20-51), output lines ``utt-N score`` with 4 decimals
+(write_scores, :283-303). Keys group by everything before the last ``-``.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def load_nbest(path: str) -> "OrderedDict[str, List[str]]":
+    nbest: "OrderedDict[str, List[str]]" = OrderedDict()
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            try:
+                key, hyp = line.split(" ", 1)
+            except ValueError:
+                key, hyp = line, " "
+            key = key.rsplit("-", 1)[0]
+            nbest.setdefault(key, []).append(hyp)
+    return nbest
+
+
+def write_scores(nbest_and_scores, path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for key, pairs in nbest_and_scores.items():
+            for idx, (_, score) in enumerate(pairs, 1):
+                f.write("%s-%d %.4f\n" % (key, idx, score))
+
+
+def encode_hyp(hyp: str, word2idx: Dict[str, int], bos: str = "<s>", unk: str = "<unk>"):
+    """'<s> w1 … wn' input ids and 'w1 … wn <s>' target ids
+    (get_input_and_target, reference scorer :87-120)."""
+    words = hyp.split()
+    unk_id = word2idx.get(unk, 0)
+    ids = [word2idx.get(w, unk_id) for w in words]
+    bos_id = word2idx.get(bos, 0)
+    return [bos_id] + ids, ids + [bos_id]
+
+
+def pad_batch(
+    seqs_in: List[List[int]],
+    seqs_tgt: List[List[int]],
+    T: int,
+    B: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pad to a (T, B) time-major batch + per-token mask + lengths."""
+    n = len(seqs_in)
+    assert n <= B
+    data = np.zeros((T, B), np.int32)
+    tgt = np.zeros((T, B), np.int32)
+    mask = np.zeros((T, B), np.float32)
+    lens = np.zeros((B,), np.int32)
+    for j, (x, y) in enumerate(zip(seqs_in, seqs_tgt)):
+        L = min(len(x), T)
+        data[:L, j] = x[:L]
+        tgt[:L, j] = y[:L]
+        mask[:L, j] = 1.0
+        lens[j] = L
+    return data, tgt, mask, lens
+
+
+def length_buckets(max_len: int, n_buckets: int = 5) -> List[int]:
+    """Power-of-two-ish bucket boundaries up to max_len (jit cache keys)."""
+    out, b = [], 16
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(max_len)
+    return out
+
+
+def bucket_for(length: int, buckets) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]

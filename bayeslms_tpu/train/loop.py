@@ -1,0 +1,235 @@
+"""Training loop: MLE + scaled KL, SGD momentum, plateau scheduler.
+
+Reference behaviors reproduced (train.py):
+- loss = CE + kl * seq_len / len(train_rows)  (:332-412; the KL term is the
+  sown sum from the position-dispatch, scaled by seq_len over the number of
+  batchified rows)
+- SGD momentum 0.9, global-norm clip (:418-420, :466)
+- per-epoch validation; on improvement save best; otherwise halve LR, reload
+  best checkpoint AND reset the optimizer, stop after 8 plateaus (:496-512)
+- LSTM hidden state carried (detached) across windows within an epoch,
+  reinitialized each epoch (:313-326)
+- eval: deterministic (posterior mean, no dropout), token-exact PPL
+  including the ragged final window (:441-458)
+
+TPU notes: one jitted step per (train/eval) graph; LR and KL scale are step
+arguments so schedule changes never recompile; epochs stream pre-stacked
+static-shape windows. Training uses full windows only (the reference also
+steps on a final ragged window; at AMI scale this is <0.1% of tokens/epoch —
+eval keeps the ragged tail so PPL is token-exact).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import load_checkpoint, partial_update, save_checkpoint
+from ..core.config import ModelConfig, TrainConfig
+from ..core.registry import build_model, init_params, sum_losses
+from ..data.corpus import apply_data_fraction, batchify, get_batch, windows
+from ..models.lstm_lm import init_hidden
+from .optim import OptState, init_opt_state, sgd_momentum_step
+
+
+def cross_entropy(logits, targets, mask=None):
+    """Token CE; mean over (masked) tokens — torch CrossEntropyLoss parity."""
+    V = logits.shape[-1]
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.reshape(-1, V), targets.reshape(-1)
+    )
+    if mask is None:
+        return ce.mean(), ce.sum()
+    m = mask.reshape(-1)
+    return (ce * m).sum() / jnp.maximum(m.sum(), 1), (ce * m).sum()
+
+
+@dataclass
+class TrainerState:
+    params: dict
+    opt_state: OptState
+    lr: float
+    best_val_loss: Optional[float]
+    plateaus: int
+    epoch: int
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig):
+        self.mcfg = model_cfg
+        self.tcfg = train_cfg
+        self.model = build_model(model_cfg)
+        self.is_tm = model_cfg.is_transformer
+        self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_impl)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: Optional[int] = None) -> TrainerState:
+        seed = self.tcfg.seed if seed is None else seed
+        params = init_params(
+            self.model, self.mcfg, seed=seed,
+            seq_len=min(self.tcfg.seq_len, self.mcfg.v_seq_len), batch=2,
+        )
+        if self.tcfg.prior and self.tcfg.prior_path:
+            prior_params, _ = load_checkpoint(self.tcfg.prior_path)
+            params, updated = partial_update(params, prior_params)
+            print(f"prior init: updated {len(updated)} param tensors")
+        return TrainerState(
+            params=params,
+            opt_state=init_opt_state(params),
+            lr=self.tcfg.lr,
+            best_val_loss=None,
+            plateaus=0,
+            epoch=0,
+        )
+
+    # ------------------------------------------------------------------ steps
+    def _apply_train(self, params, data, hidden, rngs):
+        if self.is_tm:
+            logits, var = self.model.apply(
+                {"params": params}, data, deterministic=False, rngs=rngs,
+                mutable=["losses"],
+            )
+            return logits, hidden, var
+        (logits, hidden), var = self.model.apply(
+            {"params": params}, data, hidden, deterministic=False, rngs=rngs,
+            mutable=["losses"],
+        )
+        return logits, hidden, var
+
+    def _step_impl(self, params, opt_state, hidden, data, target, lr, kl_scale, step_key):
+        d_key, s_key = jax.random.split(step_key)
+        rngs = {"dropout": d_key, "sample": s_key}
+
+        def loss_fn(p):
+            logits, new_hidden, var = self._apply_train(p, data, hidden, rngs)
+            mle, _ = cross_entropy(logits, target)
+            kl = sum_losses(var.get("losses", {})) * kl_scale
+            return mle + kl, (mle, kl, new_hidden)
+
+        (loss, (mle, kl, new_hidden)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state, gnorm = sgd_momentum_step(
+            params, grads, opt_state, lr, self.tcfg.clip, self.tcfg.momentum
+        )
+        return params, opt_state, new_hidden, loss, mle, kl, gnorm
+
+    def _eval_impl(self, params, hidden, data, target, mask):
+        if self.is_tm:
+            logits = self.model.apply({"params": params}, data, deterministic=True)
+        else:
+            logits, hidden = self.model.apply(
+                {"params": params}, data, hidden, deterministic=True
+            )
+        _, ce_sum = cross_entropy(logits, target, mask)
+        return ce_sum, hidden
+
+    # ------------------------------------------------------------------ epoch
+    def run_epoch(self, state: TrainerState, train_rows: np.ndarray, epoch_key, log=print):
+        tcfg = self.tcfg
+        data_all, tgt_all = windows(train_rows, tcfg.seq_len)
+        kl_scale = tcfg.seq_len / train_rows.shape[0]
+        hidden = init_hidden(self.mcfg.nlayers, train_rows.shape[1], self.mcfg.nhid)
+        params, opt_state = state.params, state.opt_state
+        total_loss, t0 = 0.0, time.time()
+        n = data_all.shape[0]
+        for b in range(n):
+            step_key = jax.random.fold_in(epoch_key, b)
+            params, opt_state, hidden, loss, mle, kl, gnorm = self._train_step(
+                params, opt_state, hidden,
+                jnp.asarray(data_all[b]), jnp.asarray(tgt_all[b]),
+                jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+                step_key,
+            )
+            total_loss += float(loss)
+            if b % tcfg.log_interval == 0 and b > 0:
+                cur = total_loss / tcfg.log_interval
+                ms = (time.time() - t0) * 1000 / tcfg.log_interval
+                log(
+                    f"| epoch {state.epoch:3d} | {b:5d}/{n:5d} batches | lr {state.lr:02.3f} "
+                    f"| ms/batch {ms:5.2f} | loss {cur:5.2f} | kl {float(kl):5.4f} "
+                    f"| ppl {math.exp(min(cur, 30)):8.2f}"
+                )
+                total_loss, t0 = 0.0, time.time()
+        state.params, state.opt_state = params, opt_state
+        return state
+
+    def evaluate(self, params, rows: np.ndarray) -> float:
+        """Token-exact mean CE over a batchified (rows, bsz) stream."""
+        tcfg = self.tcfg
+        L = tcfg.seq_len
+        bsz = rows.shape[1]
+        hidden = init_hidden(self.mcfg.nlayers, bsz, self.mcfg.nhid)
+        total = 0.0
+        for i in range(0, rows.shape[0] - 1, L):
+            data, target = get_batch(rows, i, L)
+            cur = data.shape[0]
+            if cur < L:  # pad ragged tail to keep the jitted shape static
+                pad = L - cur
+                data = np.pad(data, ((0, pad), (0, 0)))
+                target = np.pad(target, ((0, pad), (0, 0)))
+                mask = np.zeros((L, bsz), np.float32)
+                mask[:cur] = 1.0
+            else:
+                mask = np.ones((L, bsz), np.float32)
+            ce_sum, hidden = self._eval_step(
+                params, hidden, jnp.asarray(data), jnp.asarray(target), jnp.asarray(mask)
+            )
+            total += float(ce_sum)
+        return total / (bsz * (rows.shape[0] - 1))
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, corpus, log=print):
+        tcfg = self.tcfg
+        train_stream = apply_data_fraction(corpus.train, tcfg.data_fraction)
+        train_rows = batchify(train_stream, tcfg.batch_size)
+        val_rows = batchify(corpus.valid, tcfg.eval_batch_size)
+        test_rows = batchify(corpus.test, tcfg.eval_batch_size)
+
+        state = self.init_state()
+        root_key = jax.random.key(tcfg.seed)
+        history = []
+        for epoch in range(1, tcfg.epochs + 1):
+            state.epoch = epoch
+            t0 = time.time()
+            state = self.run_epoch(state, train_rows, jax.random.fold_in(root_key, epoch), log)
+            val_loss = self.evaluate(state.params, val_rows)
+            log("-" * 89)
+            log(
+                f"| end of epoch {epoch:3d} | time: {time.time() - t0:5.2f}s "
+                f"| valid loss {val_loss:5.2f} | valid ppl {math.exp(min(val_loss, 30)):8.2f}"
+            )
+            log("-" * 89)
+            history.append({"epoch": epoch, "val_loss": val_loss, "lr": state.lr})
+
+            if state.best_val_loss is None or val_loss < state.best_val_loss:
+                save_checkpoint(tcfg.save, state.params, meta={"epoch": epoch, "val_loss": val_loss})
+                state.best_val_loss = val_loss
+            else:
+                # Plateau: halve LR, reload best params, fresh optimizer
+                # (momentum reset), bump the early-stop counter.
+                state.lr *= tcfg.lr_decay
+                best, _ = load_checkpoint(tcfg.save, target=jax.device_get(state.params))
+                state.params = jax.tree.map(jnp.asarray, best)
+                state.opt_state = init_opt_state(state.params)
+                state.plateaus += 1
+            if state.plateaus >= tcfg.max_plateaus:
+                break
+
+        best, _ = load_checkpoint(tcfg.save, target=jax.device_get(state.params))
+        state.params = jax.tree.map(jnp.asarray, best)
+        test_loss = self.evaluate(state.params, test_rows)
+        log("=" * 89)
+        log(
+            f"| End of training | test loss {test_loss:5.2f} "
+            f"| test ppl {math.exp(min(test_loss, 30)):8.2f}"
+        )
+        log("=" * 89)
+        return state, {"history": history, "test_loss": test_loss}

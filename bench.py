@@ -1,0 +1,127 @@
+"""North-star benchmark: N-best rescoring throughput (hyps/sec/chip).
+
+Measures the batched, jitted rescorer (exact LSTM hidden carry-over, the
+10.9%-WER reference configuration) on the flagship AMI LSTM LM geometry
+(emb 1024, hid 1024, 2 layers, ~49k vocab) over a synthetic AMI-shaped
+N-best set (20 hypotheses/utterance, ~15-word hyps).
+
+``vs_baseline`` is the speedup over the reference scorer's algorithm — a
+per-hypothesis, batch-1 loop with per-hyp host->device transfer
+(compute_sentence_scores_bayes_jianwei.py:237-274) — measured on the SAME
+chip, so the ratio isolates the framework's batching/fusion win rather than
+a hardware difference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+
+def make_synthetic_nbest(n_utts=100, n_hyps=20, vocab_words=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    nbest = OrderedDict()
+    for u in range(n_utts):
+        base_len = int(np.clip(rng.normal(15, 7), 1, 40))
+        hyps = []
+        for _ in range(n_hyps):
+            L = max(1, base_len + int(rng.integers(-2, 3)))
+            words = rng.integers(2, vocab_words, size=L)
+            hyps.append(" ".join(f"w{w}" for w in words))
+        nbest[f"utt{u}"] = hyps
+    return nbest
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+    from bayeslms_tpu.rescore.nbest import bucket_for, encode_hyp, length_buckets
+    from bayeslms_tpu.rescore.scorer import BatchScorer, _masked_ce_sums
+
+    V = 49152  # AMI+Fisher-scale vocab, 128-aligned
+    cfg = ModelConfig(
+        model="LSTM", vocab_size=V, emsize=1024, nhid=1024, nlayers=2,
+        dropout=0.2, compute_dtype="bfloat16",
+    )
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=8, batch=2)
+    vocab_words = 2000
+    w2i = {"<s>": 0, "<unk>": 1}
+    for i in range(vocab_words):
+        w2i[f"w{i}"] = 2 + i
+
+    nbest = make_synthetic_nbest()
+    n_total = sum(len(h) for h in nbest.values())
+
+    rcfg = RescoreConfig(carry_over=True, max_hyp_len=64)
+    scorer = BatchScorer(cfg, params, rcfg)
+
+    # ---- warmup (compile every bucket) then timed batched run
+    warm = OrderedDict(list(nbest.items())[:6])
+    scorer.score_nbest(warm, w2i)
+    t0 = time.perf_counter()
+    scorer.score_nbest(nbest, w2i)
+    batched_s = time.perf_counter() - t0
+    batched_hps = n_total / batched_s
+
+    # ---- reference-style per-hypothesis batch-1 loop on the same chip
+    @jax.jit
+    def score_one(params, data, tgt, mask, h):
+        logits, new_h = model.apply(
+            {"params": params}, data, h, deterministic=True, step_mask=mask
+        )
+        return _masked_ce_sums(logits, tgt, mask)[0], new_h
+
+    buckets = length_buckets(64)
+    loop_items = [(k, hyps) for k, hyps in list(nbest.items())[:10]]
+    hidden = init_hidden(cfg.nlayers, 1, cfg.nhid)
+    # warmup each bucket
+    for L in buckets:
+        d = jnp.zeros((L, 1), jnp.int32)
+        m = jnp.ones((L, 1), jnp.float32)
+        score_one(params, d, d, m, hidden)[0].block_until_ready()
+
+    n_loop = 0
+    t0 = time.perf_counter()
+    for key, hyps in loop_items:
+        cached = None
+        for hyp in hyps:
+            x, y = encode_hyp(hyp, w2i)
+            T = bucket_for(len(x), buckets)
+            data = np.zeros((T, 1), np.int32)
+            tgt = np.zeros((T, 1), np.int32)
+            mask = np.zeros((T, 1), np.float32)
+            data[: len(x), 0] = x
+            tgt[: len(y), 0] = y
+            mask[: len(x), 0] = 1.0
+            s, new_h = score_one(
+                params, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask), hidden
+            )
+            float(s)  # sync, like the reference's loss.item()
+            if cached is None:
+                cached = new_h
+            n_loop += 1
+        hidden = cached
+    loop_s = time.perf_counter() - t0
+    loop_hps = n_loop / loop_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "nbest_rescoring_throughput",
+                "value": round(batched_hps, 2),
+                "unit": "hyps/sec/chip",
+                "vs_baseline": round(batched_hps / loop_hps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Smoke tests: every uncertainty x architecture config builds, runs forward
+in train and eval mode, and sows the expected KL terms."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayeslms_tpu import ModelConfig, build_model, init_params, sum_losses
+from bayeslms_tpu.models.lstm_lm import init_hidden
+
+V, E, H, T, B = 50, 16, 16, 12, 3
+
+
+def run(cfg: ModelConfig, expect_kl: bool, seq_len: int = T):
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=seq_len, batch=B)
+    tokens = jnp.ones((seq_len, B), dtype=jnp.int32)
+    rngs = {"dropout": jax.random.key(1), "sample": jax.random.key(2)}
+
+    if cfg.is_transformer:
+        out, var = model.apply(
+            {"params": params}, tokens, deterministic=False, rngs=rngs, mutable=["losses"]
+        )
+        logits = out
+        out_eval = model.apply({"params": params}, tokens, deterministic=True)
+        assert out_eval.shape == (seq_len, B, V)
+    else:
+        hidden = init_hidden(cfg.nlayers, B, cfg.nhid)
+        (logits, new_hidden), var = model.apply(
+            {"params": params}, tokens, hidden, deterministic=False, rngs=rngs,
+            mutable=["losses"],
+        )
+        assert new_hidden[0].shape == (cfg.nlayers, B, cfg.nhid)
+        (out_eval, _) = model.apply({"params": params}, tokens, hidden, deterministic=True)
+        assert out_eval.shape == (seq_len, B, V)
+
+    assert logits.shape == (seq_len, B, V)
+    assert jnp.all(jnp.isfinite(logits))
+    kl = sum_losses(var.get("losses", {}))
+    if expect_kl:
+        assert float(kl) != 0.0, "expected a nonzero KL term"
+    return float(kl)
+
+
+# ---------------- LSTM family ----------------
+
+def test_lstm_standard():
+    run(ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H), expect_kl=False)
+
+
+@pytest.mark.parametrize("cell", ["GRU", "RNN_TANH", "RNN_RELU"])
+def test_other_rnn_cells(cell):
+    run(ModelConfig(model=cell, vocab_size=V, emsize=E, nhid=H), expect_kl=False)
+
+
+@pytest.mark.parametrize("pos", [1, 2, 3, 4, 5])
+def test_lstm_bayes(pos):
+    run(
+        ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H,
+                    uncertainty="Bayesian", l_bayes_pos=pos),
+        expect_kl=True,
+    )
+
+
+@pytest.mark.parametrize("gpos", ["00", "13", "23", "31", "63", "74", "54", "133", "1334"])
+def test_lstm_gauss(gpos):
+    expect = int(gpos[0]) > 0 and 0 < int(gpos[1]) <= 3
+    run(
+        ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H,
+                    uncertainty="Gaussian", l_gauss_pos=gpos, gp_sample=True),
+        expect_kl=expect,
+    )
+
+
+@pytest.mark.parametrize("vpos", ["00", "10", "01", "11"])
+def test_lstm_variational(vpos):
+    run(
+        ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H,
+                    uncertainty="Variational", l_v_pos=vpos),
+        expect_kl=(vpos != "00"),
+    )
+
+
+# ---------------- Transformer family ----------------
+
+TCFG = dict(model="Transformer", vocab_size=V, emsize=E, nhid=2 * E, nlayers=3, nhead=2)
+
+
+def test_tm_standard():
+    run(ModelConfig(**TCFG), expect_kl=False)
+
+
+@pytest.mark.parametrize("pos", ["FFN", "MHA", "EMB"])
+def test_tm_bayes(pos):
+    run(ModelConfig(**TCFG, uncertainty="Bayesian", t_bayes_pos=pos), expect_kl=True)
+
+
+@pytest.mark.parametrize("gpos", [0, 1, 2, 3, 4, 5])
+def test_tm_gauss(gpos):
+    run(
+        ModelConfig(**TCFG, uncertainty="Gaussian", t_gauss_pos=gpos, gp_sample=True),
+        expect_kl=(1 <= gpos <= 3),
+    )
+
+
+@pytest.mark.parametrize("vpos", [0, 1, 2, 3])
+def test_tm_variational(vpos):
+    # KL (and noise) only fire at seq_len == v_seq_len (reference hardcodes
+    # 100; configured to T here).
+    cfg = ModelConfig(**TCFG, uncertainty="Variational", t_v_pos=vpos, v_seq_len=T)
+    run(cfg, expect_kl=(vpos != 0))
+    # Off-by-one parity: v_pos 2/3 builds nlayers-1 layers (model.py:2830-2843).
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=T, batch=B)
+    n_layer_keys = len([k for k in params if k.startswith("layers_")])
+    assert n_layer_keys == (cfg.nlayers - 1 if vpos in (2, 3) else cfg.nlayers)
+
+
+def test_sample_changes_with_rng_bayes_lstm():
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H,
+                      uncertainty="Bayesian", l_bayes_pos=2, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=T, batch=B)
+    tokens = jnp.ones((T, B), dtype=jnp.int32)
+    hidden = init_hidden(cfg.nlayers, B, cfg.nhid)
+
+    def fwd(sample_seed):
+        rngs = {"dropout": jax.random.key(0), "sample": jax.random.key(sample_seed)}
+        (logits, _), _ = model.apply(
+            {"params": params}, tokens, hidden, deterministic=False, rngs=rngs,
+            mutable=["losses"],
+        )
+        return logits
+
+    a, b = fwd(1), fwd(1)
+    assert jnp.allclose(a, b), "same sample key must be deterministic"
+    c = fwd(2)
+    assert not jnp.allclose(a, c), "different sample keys must differ"
+    # Eval path ignores the sample stream entirely (posterior mean).
+    e1 = model.apply({"params": params}, tokens, hidden, deterministic=True)[0]
+    e2 = model.apply({"params": params}, tokens, hidden, deterministic=True)[0]
+    assert jnp.allclose(e1, e2)

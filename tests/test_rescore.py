@@ -1,0 +1,125 @@
+"""Batched rescorer parity vs a straight per-hypothesis loop implementing the
+reference scorer semantics (batch-1, hidden carry-over, summed token CE)."""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+from bayeslms_tpu.models.lstm_lm import init_hidden
+from bayeslms_tpu.rescore.nbest import encode_hyp, load_nbest, write_scores
+from bayeslms_tpu.rescore.scorer import BatchScorer
+
+V = 40
+WORDS = ["<s>", "<unk>"] + [f"w{i}" for i in range(V - 2)]
+W2I = {w: i for i, w in enumerate(WORDS)}
+
+NBEST = OrderedDict(
+    [
+        ("utt1", ["w1 w2 w3", "w1 w2", "w1 w2 w3 w4 w5"]),
+        ("utt2", ["w9", "w9 w8 w7 w6"]),
+        ("utt3", ["w3 w3 w3 w1 w0 w2 w4", "w3"]),
+    ]
+)
+
+
+def ref_loop_scores(model, params, cfg, carry_over):
+    """Reference semantics: per-hyp batch-1 scoring, score = len * mean_CE,
+    hidden init from previous utterance's FIRST hyp."""
+    scores = OrderedDict()
+    hidden = init_hidden(cfg.nlayers, 1, cfg.nhid)
+    for key, hyps in NBEST.items():
+        cached = []
+        scores[key] = []
+        for hyp in hyps:
+            x, y = encode_hyp(hyp, W2I)
+            toks = jnp.asarray(np.array(x, np.int32)[:, None])
+            tgt = jnp.asarray(np.array(y, np.int32))
+            if cfg.is_transformer:
+                logits = model.apply({"params": params}, toks, deterministic=True)
+            else:
+                h0 = hidden if carry_over else init_hidden(cfg.nlayers, 1, cfg.nhid)
+                logits, new_h = model.apply({"params": params}, toks, h0, deterministic=True)
+                cached.append(new_h)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, 0, :], tgt
+            )
+            scores[key].append((hyp, float(ce.sum())))
+        if not cfg.is_transformer and carry_over:
+            hidden = cached[0]
+    return scores
+
+
+def _assert_same(a, b):
+    for key in a:
+        for (h1, s1), (h2, s2) in zip(a[key], b[key]):
+            assert h1 == h2
+            np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("carry", [True, False])
+def test_lstm_scorer_matches_reference_loop(carry):
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    rcfg = RescoreConfig(carry_over=carry, max_hyp_len=16, batch_size=4)
+    got = BatchScorer(cfg, params, rcfg).score_nbest(NBEST, W2I)
+    want = ref_loop_scores(model, params, cfg, carry)
+    _assert_same(want, got)
+
+
+def test_transformer_scorer_matches_reference_loop():
+    cfg = ModelConfig(
+        model="Transformer", vocab_size=V, emsize=8, nhid=16, nlayers=2, nhead=2,
+        dropout=0.0,
+    )
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    rcfg = RescoreConfig(max_hyp_len=16, batch_size=4)
+    got = BatchScorer(cfg, params, rcfg).score_nbest(NBEST, W2I)
+    want = ref_loop_scores(model, params, cfg, carry_over=False)
+    _assert_same(want, got)
+
+
+def test_logit_interpolation_matches_loop():
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    p1 = init_params(model, cfg, seed=0)
+    p2 = init_params(model, cfg, seed=9)
+    rcfg = RescoreConfig(carry_over=True, inter_flag=1, inter_alpha=0.8, max_hyp_len=16)
+    got = BatchScorer(cfg, p1, rcfg, cfg2=cfg, params2=p2).score_nbest(NBEST, W2I)
+
+    # reference: logits interpolated before CE, both hiddens carried
+    scores = OrderedDict()
+    h1 = h2 = init_hidden(cfg.nlayers, 1, cfg.nhid)
+    for key, hyps in NBEST.items():
+        cached = []
+        scores[key] = []
+        for hyp in hyps:
+            x, y = encode_hyp(hyp, W2I)
+            toks = jnp.asarray(np.array(x, np.int32)[:, None])
+            tgt = jnp.asarray(np.array(y, np.int32))
+            l1, nh1 = model.apply({"params": p1}, toks, h1, deterministic=True)
+            l2, nh2 = model.apply({"params": p2}, toks, h2, deterministic=True)
+            logits = 0.8 * l1 + 0.2 * l2
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits[:, 0, :], tgt)
+            scores[key].append((hyp, float(ce.sum())))
+            cached.append((nh1, nh2))
+        h1, h2 = cached[0]
+    _assert_same(scores, got)
+
+
+def test_nbest_io_roundtrip(tmp_path):
+    p = tmp_path / "words"
+    p.write_text("utt1-1 w1 w2\nutt1-2 w1\nutt2-1 w9 w9\n")
+    nb = load_nbest(str(p))
+    assert list(nb) == ["utt1", "utt2"]
+    assert nb["utt1"] == ["w1 w2", "w1"]
+
+    out = tmp_path / "scores"
+    write_scores(OrderedDict([("utt1", [("w1 w2", 1.5), ("w1", 2.25)])]), str(out))
+    assert out.read_text() == "utt1-1 1.5000\nutt1-2 2.2500\n"
