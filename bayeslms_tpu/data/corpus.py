@@ -26,16 +26,32 @@ from .vocab import Vocab
 
 
 class Corpus:
-    """Train/valid/test id streams built from text files + words.txt."""
+    """Train/valid/test id streams built from text files + words.txt.
 
-    def __init__(self, path: str) -> None:
+    Uses the native C++ tokenizer (tools/src/tokenizer.cc via ctypes) when
+    built; otherwise the python path. Both produce identical id streams
+    (tests/test_tools_cpp.py asserts this).
+    """
+
+    def __init__(self, path: str, use_native: bool = True) -> None:
         self.vocab = Vocab.from_file(os.path.join(path, "words.txt"))
+        self._native = None
+        if use_native:
+            try:
+                from .native import NativeTokenizer, available
+
+                if available():
+                    self._native = NativeTokenizer(os.path.join(path, "words.txt"))
+            except Exception:
+                self._native = None
         self.train = self.tokenize(os.path.join(path, "train.txt"))
         self.valid = self.tokenize(os.path.join(path, "valid.txt"))
         self.test = self.tokenize(os.path.join(path, "test.txt"))
 
     def tokenize(self, path: str) -> np.ndarray:
         assert os.path.exists(path), path
+        if self._native is not None:
+            return self._native.tokenize(path)
         ids = []
         with open(path, "r", encoding="utf-8") as f:
             for line in f:

@@ -1,0 +1,85 @@
+"""ctypes binding to the native tokenizer (tools/src/tokenizer.cc).
+
+Single-pass C++ scanner for the corpus hot path (reference data.py:36-52
+semantics: per-line words + <s>, OOV -> <unk>). Falls back transparently to
+the python implementation when the shared library hasn't been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "tools", "bin",
+                 "libbayeslm_tokenizer.so"),
+    "tools/bin/libbayeslm_tokenizer.so",
+]
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.blm_vocab_load.restype = ctypes.c_void_p
+            lib.blm_vocab_load.argtypes = [ctypes.c_char_p]
+            lib.blm_vocab_free.argtypes = [ctypes.c_void_p]
+            lib.blm_vocab_size.restype = ctypes.c_int64
+            lib.blm_vocab_size.argtypes = [ctypes.c_void_p]
+            lib.blm_tokenize.restype = ctypes.c_int64
+            lib.blm_tokenize.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ]
+            lib.blm_free_ids.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeTokenizer:
+    """Holds a loaded native vocab; tokenize() returns int32 numpy arrays."""
+
+    def __init__(self, words_txt: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native tokenizer library not built (make -C tools)")
+        self._lib = lib
+        self._vocab = lib.blm_vocab_load(words_txt.encode())
+        if not self._vocab:
+            raise RuntimeError(f"failed to load vocab from {words_txt}")
+
+    def __len__(self) -> int:
+        return int(self._lib.blm_vocab_size(self._vocab))
+
+    def tokenize(self, text_path: str) -> np.ndarray:
+        out = ctypes.POINTER(ctypes.c_int32)()
+        n = self._lib.blm_tokenize(self._vocab, text_path.encode(), ctypes.byref(out))
+        if n < 0:
+            raise RuntimeError(f"native tokenize failed for {text_path}")
+        try:
+            arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+        finally:
+            self._lib.blm_free_ids(out)
+        return arr
+
+    def __del__(self):
+        try:
+            if getattr(self, "_vocab", None):
+                self._lib.blm_vocab_free(self._vocab)
+        except Exception:
+            pass

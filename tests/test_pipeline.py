@@ -1,0 +1,108 @@
+"""End-to-end rescoring pipeline: lattices -> n-best -> ARPA old-LM scores ->
+batched NN rescoring -> interpolation -> rebuilt lattices -> WER sweep.
+
+Mirrors the reference pipeline's sanity property (lmrescore :176-184): with
+nn_weight=0 the neural model is ignored, so the pipeline must reproduce the
+lattice-preferred hypotheses; with nn_weight=1 a NN that strongly prefers the
+correct hypothesis must flip the decision and lower WER.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+from bayeslms_tpu.rescore.pipeline import run_pipeline
+from bayeslms_tpu.rescore.scorer import BatchScorer
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORDS = ["<eps>", "<s>", "<unk>", "good", "bad", "day", "night"]
+# ids:      0       1       2       3       4      5       6
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_tools():
+    subprocess.run(["make", "-C", os.path.join(ROOT, "tools")], check=True,
+                   capture_output=True)
+
+
+@pytest.fixture
+def setup(tmp_path):
+    words_txt = tmp_path / "words.txt"
+    words_txt.write_text("".join(f"{w} {i}\n" for i, w in enumerate(WORDS)))
+
+    # utterance u1: truth "good day". The lattice PREFERS "bad day"
+    # (lower graph cost) — only the NN rescoring can fix it.
+    lats = tmp_path / "lats.txt"
+    lats.write_text(
+        "u1\n"
+        "0 1 4 0.1,1.0\n"   # bad (cheap)
+        "0 2 3 2.0,1.0\n"   # good (expensive)
+        "1 3 5 0.1,1.0\n"   # day
+        "2 3 5 0.1,1.0\n"   # day
+        "3\n"
+        "\n"
+    )
+    ref = tmp_path / "ref.txt"
+    ref.write_text("u1 good day\n")
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=6\n\n\\1-grams:\n"
+        "-0.5\t<s>\t-0.3\n-0.8\tgood\t0.0\n-0.8\tbad\t0.0\n"
+        "-0.8\tday\t0.0\n-1.0\t</s>\n-2.0\t<unk>\n\n\\end\\\n"
+    )
+    return tmp_path, str(lats), str(words_txt), str(ref), str(arpa)
+
+
+class BiasedScorer:
+    """Stands in for BatchScorer: strongly prefers hypotheses with 'good'."""
+
+    def score_nbest(self, nbest, word2idx):
+        out = {}
+        for key, hyps in nbest.items():
+            out[key] = [
+                (h, 1.0 if "good" in h.split() else 50.0) for h in hyps
+            ]
+        return out
+
+
+def test_pipeline_nn_flips_decision(setup):
+    tmp_path, lats, words_txt, ref, arpa = setup
+    w2i = {w: i for i, w in enumerate(WORDS)}
+
+    # nn_weight=0: lattice wins -> picks "bad day" -> 50% WER
+    rcfg0 = RescoreConfig(nbest=5, nn_weight=0.0, min_lmwt=7, max_lmwt=9)
+    res0 = run_pipeline(lats, words_txt, BiasedScorer(), w2i,
+                        str(tmp_path / "wd0"), rcfg0, arpa_lm=arpa, ref_text=ref)
+    assert res0.n_utts == 1 and res0.n_hyps == 2
+    assert res0.best_wer == 50.0
+
+    # nn_weight=1: NN flips to "good day" -> 0% WER
+    rcfg1 = RescoreConfig(nbest=5, nn_weight=1.0, min_lmwt=7, max_lmwt=9)
+    res1 = run_pipeline(lats, words_txt, BiasedScorer(), w2i,
+                        str(tmp_path / "wd1"), rcfg1, arpa_lm=arpa, ref_text=ref)
+    assert res1.best_wer == 0.0
+    assert os.path.exists(res1.rescored_lattices)
+    assert open(res1.best_hyps_path).read().strip() == "u1 good day"
+
+
+def test_pipeline_with_real_batch_scorer(setup):
+    """Full stack including the jitted BatchScorer (random tiny LSTM)."""
+    tmp_path, lats, words_txt, ref, arpa = setup
+    w2i = {w: i for i, w in enumerate(WORDS)}
+    cfg = ModelConfig(model="LSTM", vocab_size=len(WORDS), emsize=8, nhid=8,
+                      dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    scorer = BatchScorer(cfg, params, RescoreConfig(carry_over=True, max_hyp_len=16))
+    res = run_pipeline(lats, words_txt, scorer, w2i, str(tmp_path / "wd2"),
+                       RescoreConfig(nbest=5, min_lmwt=7, max_lmwt=8),
+                       arpa_lm=arpa, ref_text=ref)
+    assert res.n_hyps == 2
+    assert set(res.wer_by_lmwt) == {7, 8}
+    nn = open(os.path.join(str(tmp_path / "wd2"), "nnlm.scores")).read()
+    assert nn.startswith("u1-1 ") and len(nn.splitlines()) == 2

@@ -1,0 +1,172 @@
+"""Native tool family: build + behavioral tests on synthetic data.
+
+Covers the C++ equivalents of the reference's external binaries: N-best
+extraction ordering/scores, ARPA backoff scoring vs hand computation, WER
+alignment counts, int2sym, nbest->lattice round-trip, and native-vs-python
+tokenizer parity.
+"""
+
+import math
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BIN = os.path.join(ROOT, "tools", "bin")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_tools():
+    subprocess.run(["make", "-C", os.path.join(ROOT, "tools")], check=True,
+                   capture_output=True)
+
+
+def tool(name):
+    return os.path.join(BIN, name)
+
+
+LATTICE = """utt1
+0 1 5 1.0,2.0
+0 2 6 0.5,1.0
+1 3 7 0.5,0.5
+2 3 8 2.0,3.0
+3 0.5,0.5
+
+utt2
+0 1 9 0.0,10.0
+1
+
+"""
+
+
+def test_lattice_to_nbest_exact_order(tmp_path):
+    lat = tmp_path / "lats.txt"
+    lat.write_text(LATTICE)
+    w, g, a = tmp_path / "w", tmp_path / "g", tmp_path / "a"
+    subprocess.run(
+        [tool("lattice_to_nbest"), "--n=5", "--acoustic-scale=0.1",
+         str(lat), str(w), str(g), str(a)],
+        check=True, capture_output=True,
+    )
+    words = w.read_text().splitlines()
+    graphs = dict(l.split() for l in g.read_text().splitlines())
+    acs = dict(l.split() for l in a.read_text().splitlines())
+
+    # utt1 path costs at acwt=0.1 (graph + 0.1*acoustic, incl. final 0.5,0.5):
+    #   5->7: (1.0+0.5+0.5) + 0.1*(2.0+0.5+0.5) = 2.30
+    #   6->8: (0.5+2.0+0.5) + 0.1*(1.0+3.0+0.5) = 3.45
+    assert words[0] == "utt1-1 5 7"
+    assert words[1] == "utt1-2 6 8"
+    np.testing.assert_allclose(float(graphs["utt1-1"]), 2.0)
+    np.testing.assert_allclose(float(acs["utt1-1"]), 3.0)
+    np.testing.assert_allclose(float(graphs["utt1-2"]), 3.0)
+    np.testing.assert_allclose(float(acs["utt1-2"]), 4.5)
+    # utt2: single arc, zero-cost final
+    assert words[2] == "utt2-1 9"
+    np.testing.assert_allclose(float(acs["utt2-1"]), 10.0)
+
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=2
+
+\\1-grams:
+-0.5\t<s>\t-0.30103
+-0.60206\ta\t-0.30103
+-0.69897\tb\t0.0
+-1.0\t</s>
+-2.0\t<unk>
+
+\\2-grams:
+-0.30103\t<s> a
+-0.15490\ta b
+
+\\end\\
+"""
+
+
+def test_arpa_score_backoff(tmp_path):
+    lm = tmp_path / "lm.arpa"
+    lm.write_text(ARPA)
+    hyps = tmp_path / "hyps.txt"
+    hyps.write_text("u-1 a b\nu-2 zzz\n")
+    out = tmp_path / "scores.txt"
+    subprocess.run([tool("arpa_score"), str(lm), str(hyps), str(out)],
+                   check=True, capture_output=True)
+    scores = dict(l.split() for l in out.read_text().splitlines())
+
+    # u-1 "a b": log10 P = P(a|<s>) + P(b|<s> a -> backoff(<s> a)?  no 3-grams:
+    #   context (<s>, a): bigram "a b" exists with backoff from... order=2 so
+    #   context is just previous word:
+    #   P(a|<s>) = -0.30103 (bigram)
+    #   P(b|a)   = -0.15490 (bigram)
+    #   P(</s>|b)= backoff(b)=0.0 + P(</s>) = -1.0
+    log10p = -0.30103 - 0.15490 - 1.0
+    np.testing.assert_allclose(float(scores["u-1"]), -log10p * math.log(10), rtol=1e-4)
+
+    # u-2 "zzz" -> <unk>: P(<unk>|<s>) = backoff(<s>) + P(<unk>) = -0.30103-2.0
+    #   P(</s>|<unk>) = backoff(<unk>)=0 + P(</s>) = -1.0
+    log10p2 = (-0.30103 - 2.0) + (-1.0)
+    np.testing.assert_allclose(float(scores["u-2"]), -log10p2 * math.log(10), rtol=1e-4)
+
+
+def test_wer_counts(tmp_path):
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 a b c d\nu2 x y\n")
+    # u1: 1 sub (b->q), 1 del (d); u2: 1 ins (z)
+    hyp.write_text("u1 a q c\nu2 x y z\n")
+    out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
+                         capture_output=True, text=True).stdout
+    assert "%WER 50.00 [ 3 / 6, 1 ins, 1 del, 1 sub ]" in out
+    assert "%SER 100.00 [ 2 / 2 ]" in out
+
+
+def test_int2sym(tmp_path):
+    wt = tmp_path / "words.txt"
+    wt.write_text("<eps> 0\nfoo 1\nbar 2\n")
+    inp = tmp_path / "in.txt"
+    inp.write_text("utt-1 1 2 1\n")
+    out = tmp_path / "out.txt"
+    subprocess.run([tool("int2sym"), str(wt), str(inp), str(out)],
+                   check=True, capture_output=True)
+    assert out.read_text() == "utt-1 foo bar foo\n"
+
+
+def test_nbest_to_lattice_roundtrip(tmp_path):
+    """nbest -> lattice -> nbest preserves words and total costs."""
+    w = tmp_path / "w"; g = tmp_path / "g"; a = tmp_path / "a"
+    w.write_text("u-1 5 7\nu-2 6 8\n")
+    g.write_text("u-1 2.0\nu-2 3.0\n")
+    a.write_text("u-1 3.0\nu-2 4.0\n")
+    lats = tmp_path / "lats.txt"
+    subprocess.run([tool("nbest_to_lattice"), str(w), str(g), str(a), str(lats)],
+                   check=True, capture_output=True)
+    w2 = tmp_path / "w2"; g2 = tmp_path / "g2"; a2 = tmp_path / "a2"
+    subprocess.run(
+        [tool("lattice_to_nbest"), "--n=5", "--acoustic-scale=0.1",
+         str(lats), str(w2), str(g2), str(a2)],
+        check=True, capture_output=True,
+    )
+    assert w2.read_text().splitlines() == ["u-1 5 7", "u-2 6 8"]
+    graphs = dict(l.split() for l in g2.read_text().splitlines())
+    acs = dict(l.split() for l in a2.read_text().splitlines())
+    np.testing.assert_allclose(float(graphs["u-1"]), 2.0)
+    np.testing.assert_allclose(float(acs["u-2"]), 4.0)
+
+
+def test_native_tokenizer_matches_python(tmp_path):
+    from bayeslms_tpu.data.corpus import Corpus
+
+    (tmp_path / "words.txt").write_text("<s> 0\n<unk> 1\nhello 2\nworld 3\n")
+    text = "hello world\nworld OOV hello\n\nhello\n"
+    for split in ("train", "valid", "test"):
+        (tmp_path / f"{split}.txt").write_text(text)
+
+    c_native = Corpus(str(tmp_path), use_native=True)
+    c_python = Corpus(str(tmp_path), use_native=False)
+    assert c_native._native is not None, "native tokenizer should have loaded"
+    np.testing.assert_array_equal(c_native.train, c_python.train)
+    np.testing.assert_array_equal(c_native.valid, c_python.valid)
