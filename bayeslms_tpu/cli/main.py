@@ -1,0 +1,236 @@
+"""Command-line interface.
+
+Replaces the reference's recipe surface (run_nnlm_ami_{lstm,tm}.sh +
+train.py/compute_sentence_scores argparse) with subcommands. Flag names
+follow the reference (train.py:25-105) so recipes translate one-to-one:
+
+  bayeslm train    --data DIR --model LSTM --uncertainty Bayesian \
+                   --L_bayes_pos 3 --emsize 1024 --nhid 1024 ... --save m.ckpt
+  bayeslm score    --nbest-list F --vocabulary words.txt --model-path m.ckpt ...
+  bayeslm rescore  --lattices F --words words.txt --model-path m.ckpt \
+                   --arpa lm.arpa --ref ref.txt --workdir WD
+  bayeslm snr      --model-path m.ckpt [--L_bayes_pos 3]
+  bayeslm search   --data DIR --model LSTM --search-mode bayes ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ..core.config import ModelConfig, RescoreConfig, TrainConfig
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="LSTM",
+                   choices=["LSTM", "GRU", "RNN_TANH", "RNN_RELU", "Transformer"])
+    p.add_argument("--emsize", type=int, default=1024)
+    p.add_argument("--nhid", type=int, default=1024)
+    p.add_argument("--nlayers", type=int, default=2)
+    p.add_argument("--nhead", type=int, default=8)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--tied", action="store_true", default=True)
+    p.add_argument("--not-tied", dest="tied", action="store_false")
+    p.add_argument("--uncertainty", default="none",
+                   choices=["none", "Bayesian", "Gaussian", "Variational"])
+    p.add_argument("--T_bayes_pos", default="none", choices=["none", "FFN", "MHA", "EMB"])
+    p.add_argument("--L_bayes_pos", type=int, default=0)
+    p.add_argument("--T_gauss_pos", type=int, default=3)
+    p.add_argument("--L_gauss_pos", default="00")
+    p.add_argument("--T_v_pos", type=int, default=0)
+    p.add_argument("--L_v_pos", default="00")
+    p.add_argument("--gp-sample", action="store_true")
+    p.add_argument("--compute-dtype", default="float32")
+
+
+def _model_cfg(args, vocab_size: int) -> ModelConfig:
+    return ModelConfig(
+        model=args.model, vocab_size=vocab_size, emsize=args.emsize, nhid=args.nhid,
+        nlayers=args.nlayers, nhead=args.nhead, dropout=args.dropout, tied=args.tied,
+        uncertainty=args.uncertainty, t_bayes_pos=args.T_bayes_pos,
+        l_bayes_pos=args.L_bayes_pos, t_gauss_pos=args.T_gauss_pos,
+        l_gauss_pos=args.L_gauss_pos, t_v_pos=args.T_v_pos, l_v_pos=args.L_v_pos,
+        gp_sample=args.gp_sample, compute_dtype=args.compute_dtype,
+    )
+
+
+def cmd_train(args) -> int:
+    from ..data.corpus import Corpus
+    from ..train.loop import Trainer
+
+    corpus = Corpus(args.data)
+    cfg = _model_cfg(args, len(corpus.vocab))
+    tcfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
+        epochs=args.epochs, seq_len=args.seq_len, clip=args.clip, seed=args.seed,
+        log_interval=args.log_interval, data_fraction=args.data_fraction,
+        prior=args.prior, prior_path=args.prior_path, save=args.save,
+    )
+    trainer = Trainer(cfg, tcfg)
+    _, out = trainer.fit(corpus)
+    print(json.dumps({"test_loss": out["test_loss"]}))
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Score an n-best list with a trained model (the reference's
+    compute_sentence_scores_* entry point)."""
+    from ..core.checkpoint import load_checkpoint
+    from ..data.vocab import Vocab
+    from ..rescore.nbest import load_nbest, write_scores
+    from ..rescore.scorer import BatchScorer
+
+    vocab = Vocab.from_file(args.vocabulary)
+    cfg = _model_cfg(args, len(vocab))
+    params, _ = load_checkpoint(args.model_path)
+    rcfg = RescoreConfig(
+        carry_over=not args.no_carry_over, inter_flag=args.interpolation_flag,
+        inter_alpha=args.inter_alpha, max_hyp_len=args.max_hyp_len,
+    )
+    params2 = cfg2 = None
+    if args.interpolation_flag:
+        cfg2 = _model_cfg(args, len(vocab))
+        params2, _ = load_checkpoint(args.inter_path)
+    scorer = BatchScorer(cfg, params, rcfg, cfg2, params2)
+    nbest = load_nbest(args.nbest_list)
+    write_scores(scorer.score_nbest(nbest, vocab.word2idx), args.outfile)
+    print(f"wrote {args.outfile}")
+    return 0
+
+
+def cmd_rescore(args) -> int:
+    """Full lattice rescoring pipeline (replaces lmrescore_nbest_*.sh)."""
+    from ..core.checkpoint import load_checkpoint
+    from ..data.vocab import Vocab
+    from ..rescore.pipeline import run_pipeline
+    from ..rescore.scorer import BatchScorer
+
+    vocab = Vocab.from_file(args.words)
+    cfg = _model_cfg(args, len(vocab))
+    params, _ = load_checkpoint(args.model_path)
+    rcfg = RescoreConfig(
+        nbest=args.N, acwt=args.acwt, nn_weight=args.nn_weight,
+        carry_over=not args.no_carry_over, min_lmwt=args.min_lmwt,
+        max_lmwt=args.max_lmwt,
+    )
+    scorer = BatchScorer(cfg, params, rcfg)
+    res = run_pipeline(
+        args.lattices, args.words, scorer, vocab.word2idx, args.workdir, rcfg,
+        arpa_lm=args.arpa, ref_text=args.ref,
+    )
+    print(json.dumps({
+        "n_utts": res.n_utts, "n_hyps": res.n_hyps,
+        "wer_by_lmwt": res.wer_by_lmwt, "best_lmwt": res.best_lmwt,
+        "best_wer": res.best_wer,
+    }))
+    return 0
+
+
+def cmd_snr(args) -> int:
+    from ..analysis.snr import snr_from_checkpoint
+
+    cfg = None
+    if args.L_bayes_pos:
+        cfg = ModelConfig(vocab_size=1, nhid=args.nhid, l_bayes_pos=args.L_bayes_pos)
+    print(json.dumps(snr_from_checkpoint(args.model_path, cfg), indent=2))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from ..data.corpus import Corpus
+    from ..nas.search import SearchRunner
+
+    corpus = Corpus(args.data)
+    cfg = _model_cfg(args, len(corpus.vocab))
+    tcfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
+        seq_len=args.seq_len, clip=args.clip, seed=args.seed,
+    )
+    runner = SearchRunner(cfg, tcfg, mode=args.search_mode, unrolled=args.unrolled,
+                          arch_lr=args.arch_lr)
+    res = runner.run(corpus)
+    print(json.dumps({"arch_softmax": res.arch_softmax.tolist()}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bayeslm", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a language model")
+    _add_model_args(t)
+    t.add_argument("--data", required=True)
+    t.add_argument("--lr", type=float, default=0.1)
+    t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--eval-batch-size", type=int, default=20)
+    t.add_argument("--epochs", type=int, default=32)
+    t.add_argument("--seq_len", type=int, default=100)
+    t.add_argument("--clip", type=float, default=1.0)
+    t.add_argument("--seed", type=int, default=1111)
+    t.add_argument("--log-interval", type=int, default=200)
+    t.add_argument("--data-fraction", type=float, default=1.0,
+                   help="reference --mark base-0.Xset ablations")
+    t.add_argument("--prior", action="store_true")
+    t.add_argument("--prior_path", default=None)
+    t.add_argument("--save", default="model.ckpt")
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("score", help="score an n-best list")
+    _add_model_args(s)
+    s.add_argument("--nbest-list", required=True)
+    s.add_argument("--vocabulary", required=True)
+    s.add_argument("--model-path", required=True)
+    s.add_argument("--outfile", required=True)
+    s.add_argument("--interpolation_flag", type=int, default=0)
+    s.add_argument("--inter_path", default=None)
+    s.add_argument("--inter_alpha", type=float, default=0.8)
+    s.add_argument("--no-carry-over", action="store_true")
+    s.add_argument("--max-hyp-len", type=int, default=128)
+    s.set_defaults(fn=cmd_score)
+
+    r = sub.add_parser("rescore", help="full lattice rescoring pipeline")
+    _add_model_args(r)
+    r.add_argument("--lattices", required=True)
+    r.add_argument("--words", required=True)
+    r.add_argument("--model-path", required=True)
+    r.add_argument("--workdir", required=True)
+    r.add_argument("--arpa", default=None)
+    r.add_argument("--ref", default=None)
+    r.add_argument("--N", type=int, default=20)
+    r.add_argument("--acwt", type=float, default=0.1)
+    r.add_argument("--nn-weight", type=float, default=1.0)
+    r.add_argument("--no-carry-over", action="store_true")
+    r.add_argument("--min-lmwt", type=int, default=7)
+    r.add_argument("--max-lmwt", type=int, default=15)
+    r.set_defaults(fn=cmd_rescore)
+
+    n = sub.add_parser("snr", help="posterior SNR analysis (variance.py)")
+    n.add_argument("--model-path", required=True)
+    n.add_argument("--L_bayes_pos", type=int, default=0)
+    n.add_argument("--nhid", type=int, default=1024)
+    n.set_defaults(fn=cmd_snr)
+
+    se = sub.add_parser("search", help="DARTS architecture search")
+    _add_model_args(se)
+    se.add_argument("--data", required=True)
+    se.add_argument("--search-mode", default="bayes", choices=["bayes", "gauss"])
+    se.add_argument("--unrolled", action="store_true")
+    se.add_argument("--arch-lr", type=float, default=3e-4)
+    se.add_argument("--lr", type=float, default=1.0)
+    se.add_argument("--batch-size", type=int, default=16)
+    se.add_argument("--epochs", type=int, default=3)
+    se.add_argument("--seq_len", type=int, default=32)
+    se.add_argument("--clip", type=float, default=1.0)
+    se.add_argument("--seed", type=int, default=1111)
+    se.set_defaults(fn=cmd_search)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

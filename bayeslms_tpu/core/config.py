@@ -128,6 +128,10 @@ class RescoreConfig:
     # Padded-batch scorer controls (TPU replacement of the per-hyp loop).
     max_hyp_len: int = 128
     batch_size: int = 64
+    # Utterances per device call in carry-over mode: the serial utterance
+    # chain runs as an on-device lax.scan so host round-trip latency is paid
+    # once per chunk, not once per utterance.
+    carry_chunk_utts: int = 50
     # WER sweep over LM-scale weights (local/score_asclite.sh:10-11).
     min_lmwt: int = 7
     max_lmwt: int = 15

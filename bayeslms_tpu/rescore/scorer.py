@@ -68,6 +68,8 @@ class BatchScorer:
         self.is_tm = cfg.is_transformer
         self._tm_step = jax.jit(self._tm_impl)
         self._rnn_step = jax.jit(self._rnn_impl)
+        self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(7,))
+        self._bucket_step = jax.jit(self._bucket_chunk_impl)
 
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
@@ -110,10 +112,42 @@ class BatchScorer:
         return scores, new_h1, new_h2
 
     # ------------------------------------------------------------ public API
-    def score_nbest(self, nbest: "OrderedDict[str, List[str]]", word2idx: Dict[str, int]):
+    def score_nbest(
+        self,
+        nbest: "OrderedDict[str, List[str]]",
+        word2idx: Dict[str, int],
+        stream_fn=None,
+    ):
+        """``stream_fn(utt_key) -> stream label`` partitions utterances into
+        independent carry-over chains (one per recording/conversation).
+        Chains run in PARALLEL on the chip while utterances within a chain
+        stay serial — semantically per-recording carry-over, which is what
+        cross-utterance context means (the reference's nj=5 sharding even
+        splits chains arbitrarily mid-recording). Default: one global chain
+        (bit-faithful to the reference's single-job order)."""
         if self.is_tm or not self.rcfg.carry_over:
             return self._score_bucketed(nbest, word2idx)
-        return self._score_carry(nbest, word2idx)
+        return self._score_carry(nbest, word2idx, stream_fn)
+
+    def _bucket_chunk_impl(self, params, params2, data, tgt, mask):
+        """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
+        device call (host round trips cost ~25 ms each through the tunnel)."""
+        if self.is_tm:
+            def body(_, inp):
+                d, t, m = inp
+                return None, self._tm_impl(params, params2, d, t, m)
+        else:
+            B = data.shape[2]
+            cdtype = jnp.dtype(self.cfg.compute_dtype)
+            h = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
+
+            def body(_, inp):
+                d, t, m = inp
+                s, _, _ = self._rnn_impl(params, params2, d, t, m, h, h)
+                return None, s
+
+        _, scores = jax.lax.scan(body, None, (data, tgt, mask))
+        return scores  # (n, B)
 
     # -- global length-bucketed batching (transformer / no carry-over)
     def _score_bucketed(self, nbest, word2idx):
@@ -132,54 +166,117 @@ class BatchScorer:
         p2 = self.params2 if self.interp else self.params
         for T, group in sorted(by_bucket.items()):
             Bc = rc.batch_size
-            for s in range(0, len(group), Bc):
-                chunk = group[s : s + Bc]
-                data, tgt, mask, _ = pad_batch(
-                    [c[2] for c in chunk], [c[3] for c in chunk], T, Bc
+            n = (len(group) + Bc - 1) // Bc
+            data = np.zeros((n, T, Bc), np.int32)
+            tgt = np.zeros((n, T, Bc), np.int32)
+            mask = np.zeros((n, T, Bc), np.float32)
+            for j in range(n):
+                chunk = group[j * Bc : (j + 1) * Bc]
+                d, t, m, _ = pad_batch([c[2] for c in chunk], [c[3] for c in chunk], T, Bc)
+                data[j], tgt[j], mask[j] = d, t, m
+            out = np.asarray(
+                self._bucket_step(
+                    self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask)
                 )
-                if self.is_tm:
-                    out = self._tm_step(
-                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask)
-                    )
-                else:
-                    h = init_hidden(self.cfg.nlayers, Bc, self.cfg.nhid)
-                    out, _, _ = self._rnn_step(
-                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
-                        jnp.asarray(mask), h, h,
-                    )
-                out = np.asarray(out)
-                for j, (key, i, _, _) in enumerate(chunk):
-                    scores[(key, i)] = float(out[j])
+            )  # (n, Bc)
+            for j in range(n):
+                chunk = group[j * Bc : (j + 1) * Bc]
+                for c, (key, i, _, _) in enumerate(chunk):
+                    scores[(key, i)] = float(out[j, c])
 
         return self._assemble(nbest, scores)
 
-    # -- serial utterances, batched hypotheses (exact carry-over)
-    def _score_carry(self, nbest, word2idx):
+    # -- serial utterances, batched hypotheses (exact carry-over).
+    # The whole utterance chain runs ON DEVICE as a lax.scan over utterances
+    # (one chunked device call instead of one per utterance): a host round
+    # trip costs ~25 ms through the TPU tunnel, which would dominate the
+    # sub-ms per-utterance compute. Utterances are padded to a common
+    # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
+    # carried hidden exact at each hypothesis's true length.
+    def _carry_chunk_impl(self, params, params2, data, tgt, mask, h1, h2, N: int):
+        """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
+        parallel chains of N hypotheses; h1/h2: (layers, G, H) carried."""
+        L = h1[0].shape[0]
+        G = h1[0].shape[1]
+        H = h1[0].shape[2]
+
+        def bcast(c):
+            # (L, G, H) -> (L, G*N, H): each chain's state feeds its N hyps
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[:, :, None, :], (L, G, N, H)).reshape(
+                    L, G * N, H
+                ),
+                c,
+            )
+
+        def first_hyp(nh):
+            # (L, G*N, H) -> (L, G, H): carry each chain's FIRST hypothesis
+            # (ref :261-274)
+            return jax.tree.map(lambda a: a.reshape(L, G, N, H)[:, :, 0, :], nh)
+
+        def per_utt(carry, inp):
+            c1, c2 = carry
+            d_t, t_t, m_t = inp
+            scores, nh1, nh2 = self._rnn_impl(
+                params, params2, d_t, t_t, m_t, bcast(c1), bcast(c2)
+            )
+            return (first_hyp(nh1), first_hyp(nh2)), scores
+
+        (h1, h2), scores = jax.lax.scan(per_utt, (h1, h2), (data, tgt, mask))
+        return scores, h1, h2  # scores: (U, G*N)
+
+    def _score_carry(self, nbest, word2idx, stream_fn=None):
         rc = self.rcfg
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)
-        p2 = self.params2 if self.interp else self.params
-        carry1 = init_hidden(self.cfg.nlayers, 1, self.cfg.nhid)
-        carry2 = init_hidden(self.cfg.nlayers, 1, self.cfg.nhid)
-        scores: Dict[tuple, float] = {}
+        keys = list(nbest.keys())
 
-        for key, hyps in nbest.items():
-            enc = [encode_hyp(h, word2idx) for h in hyps]
-            T = bucket_for(max(len(x) for x, _ in enc), buckets)
-            data, tgt, mask, _ = pad_batch([x for x, _ in enc], [y for _, y in enc], T, N)
-            # every hypothesis starts from the carried state (ref :237-259)
-            h1 = jax.tree.map(lambda a: jnp.broadcast_to(a, (a.shape[0], N, a.shape[2])), carry1)
-            h2 = jax.tree.map(lambda a: jnp.broadcast_to(a, (a.shape[0], N, a.shape[2])), carry2)
-            out, new_h1, new_h2 = self._rnn_step(
-                self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                h1, h2,
+        # partition into independent chains, preserving order within each
+        streams: "OrderedDict[str, list]" = OrderedDict()
+        for k in keys:
+            label = stream_fn(k) if stream_fn else "_all"
+            streams.setdefault(label, []).append(k)
+        G = len(streams)
+        stream_keys = list(streams.values())
+        U_total = max(len(s) for s in stream_keys)
+
+        enc = {k: [encode_hyp(h, word2idx) for h in nbest[k]] for k in keys}
+        max_len = max((len(x) for k in keys for x, _ in enc[k]), default=1)
+        T = bucket_for(max_len, buckets)
+
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
+        carry2 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
+        scores: Dict[tuple, float] = {}
+        U_CHUNK = min(rc.carry_chunk_utts, U_total)
+        for s in range(0, U_total, U_CHUNK):
+            U = U_CHUNK  # fixed shape; ragged tail padded with zero masks
+            data = np.zeros((U, T, G * N), np.int32)
+            tgt = np.zeros((U, T, G * N), np.int32)
+            mask = np.zeros((U, T, G * N), np.float32)
+            slot_key = {}
+            for g, skeys in enumerate(stream_keys):
+                for u in range(U):
+                    if s + u >= len(skeys):
+                        continue
+                    k = skeys[s + u]
+                    d, t, m, _ = pad_batch(
+                        [x for x, _ in enc[k]], [y for _, y in enc[k]], T, N
+                    )
+                    col = slice(g * N, (g + 1) * N)
+                    data[u, :, col], tgt[u, :, col], mask[u, :, col] = d, t, m
+                    slot_key[(u, g)] = k
+            out, carry1, carry2 = self._carry_step(
+                self.params, self.params2 if self.interp else self.params,
+                jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
+                carry1, carry2, N,
             )
-            out = np.asarray(out)
-            for i in range(len(hyps)):
-                scores[(key, i)] = float(out[i])
-            # carry the FIRST hypothesis's final state (ref :261-274)
-            carry1 = jax.tree.map(lambda a: a[:, 0:1], new_h1)
-            carry2 = jax.tree.map(lambda a: a[:, 0:1], new_h2)
+            out = np.asarray(out)  # (U, G*N)
+            for (u, g), k in slot_key.items():
+                for i in range(len(nbest[k])):
+                    scores[(k, i)] = float(out[u, g * N + i])
+            # padded utterance slots have all-zero masks: hidden frozen, so
+            # each chain's carried state stays exact across chunks.
 
         return self._assemble(nbest, scores)
 

@@ -122,14 +122,22 @@ class Trainer:
         return params, opt_state, new_hidden, loss, mle, kl, gnorm
 
     def _eval_impl(self, params, hidden, data, target, mask):
-        if self.is_tm:
-            logits = self.model.apply({"params": params}, data, deterministic=True)
-        else:
-            logits, hidden = self.model.apply(
-                {"params": params}, data, hidden, deterministic=True
-            )
-        _, ce_sum = cross_entropy(logits, target, mask)
-        return ce_sum, hidden
+        """data/target/mask: (n, T, B) stacked eval windows, scanned on
+        device with hidden carry — ONE host round trip per eval pass."""
+
+        def body(h, inp):
+            d, t, m = inp
+            if self.is_tm:
+                logits = self.model.apply({"params": params}, d, deterministic=True)
+            else:
+                logits, h = self.model.apply(
+                    {"params": params}, d, h, deterministic=True
+                )
+            _, ce_sum = cross_entropy(logits, t, m)
+            return h, ce_sum
+
+        _, sums = jax.lax.scan(body, hidden, (data, target, mask))
+        return jnp.sum(sums)
 
     # ------------------------------------------------------------------ epoch
     def run_epoch(self, state: TrainerState, train_rows: np.ndarray, epoch_key, log=print):
@@ -138,8 +146,13 @@ class Trainer:
         kl_scale = tcfg.seq_len / train_rows.shape[0]
         hidden = init_hidden(self.mcfg.nlayers, train_rows.shape[1], self.mcfg.nhid)
         params, opt_state = state.params, state.opt_state
-        total_loss, t0 = 0.0, time.time()
+        t0 = time.time()
         n = data_all.shape[0]
+        # Losses stay ON DEVICE between log points: a device->host fetch costs
+        # ~25 ms through the TPU tunnel, so fetching per step would dominate
+        # the step itself. Dispatch runs ahead asynchronously; we sync once
+        # per log_interval.
+        pending = []
         for b in range(n):
             step_key = jax.random.fold_in(epoch_key, b)
             params, opt_state, hidden, loss, mle, kl, gnorm = self._train_step(
@@ -148,41 +161,41 @@ class Trainer:
                 jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
                 step_key,
             )
-            total_loss += float(loss)
+            pending.append(loss)
             if b % tcfg.log_interval == 0 and b > 0:
-                cur = total_loss / tcfg.log_interval
-                ms = (time.time() - t0) * 1000 / tcfg.log_interval
+                cur = float(jnp.mean(jnp.stack(pending)))
+                ms = (time.time() - t0) * 1000 / len(pending)
+                pending = []
                 log(
                     f"| epoch {state.epoch:3d} | {b:5d}/{n:5d} batches | lr {state.lr:02.3f} "
                     f"| ms/batch {ms:5.2f} | loss {cur:5.2f} | kl {float(kl):5.4f} "
                     f"| ppl {math.exp(min(cur, 30)):8.2f}"
                 )
-                total_loss, t0 = 0.0, time.time()
+                t0 = time.time()
         state.params, state.opt_state = params, opt_state
         return state
 
     def evaluate(self, params, rows: np.ndarray) -> float:
-        """Token-exact mean CE over a batchified (rows, bsz) stream."""
+        """Token-exact mean CE over a batchified (rows, bsz) stream (includes
+        the ragged final window, reference train.py:441-458)."""
         tcfg = self.tcfg
         L = tcfg.seq_len
         bsz = rows.shape[1]
+        starts = list(range(0, rows.shape[0] - 1, L))
+        n = len(starts)
+        data = np.zeros((n, L, bsz), rows.dtype)
+        target = np.zeros((n, L, bsz), rows.dtype)
+        mask = np.zeros((n, L, bsz), np.float32)
+        for j, i in enumerate(starts):
+            d, t = get_batch(rows, i, L)
+            cur = d.shape[0]
+            data[j, :cur], target[j, :cur], mask[j, :cur] = d, t, 1.0
         hidden = init_hidden(self.mcfg.nlayers, bsz, self.mcfg.nhid)
-        total = 0.0
-        for i in range(0, rows.shape[0] - 1, L):
-            data, target = get_batch(rows, i, L)
-            cur = data.shape[0]
-            if cur < L:  # pad ragged tail to keep the jitted shape static
-                pad = L - cur
-                data = np.pad(data, ((0, pad), (0, 0)))
-                target = np.pad(target, ((0, pad), (0, 0)))
-                mask = np.zeros((L, bsz), np.float32)
-                mask[:cur] = 1.0
-            else:
-                mask = np.ones((L, bsz), np.float32)
-            ce_sum, hidden = self._eval_step(
+        total = float(
+            self._eval_step(
                 params, hidden, jnp.asarray(data), jnp.asarray(target), jnp.asarray(mask)
             )
-            total += float(ce_sum)
+        )
         return total / (bsz * (rows.shape[0] - 1))
 
     # ------------------------------------------------------------------ fit

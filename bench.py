@@ -21,18 +21,27 @@ from collections import OrderedDict
 import numpy as np
 
 
-def make_synthetic_nbest(n_utts=100, n_hyps=20, vocab_words=2000, seed=0):
+def make_synthetic_nbest(n_meetings=10, utts_per_meeting=10, n_hyps=20,
+                         vocab_words=2000, seed=0):
+    """AMI-shaped: independent recordings (carry-over chains) of serial
+    utterances, 20 hypotheses each."""
     rng = np.random.default_rng(seed)
     nbest = OrderedDict()
-    for u in range(n_utts):
-        base_len = int(np.clip(rng.normal(15, 7), 1, 40))
-        hyps = []
-        for _ in range(n_hyps):
-            L = max(1, base_len + int(rng.integers(-2, 3)))
-            words = rng.integers(2, vocab_words, size=L)
-            hyps.append(" ".join(f"w{w}" for w in words))
-        nbest[f"utt{u}"] = hyps
+    for m in range(n_meetings):
+        for u in range(utts_per_meeting):
+            base_len = int(np.clip(rng.normal(15, 7), 1, 40))
+            hyps = []
+            for _ in range(n_hyps):
+                L = max(1, base_len + int(rng.integers(-2, 3)))
+                words = rng.integers(2, vocab_words, size=L)
+                hyps.append(" ".join(f"w{w}" for w in words))
+            nbest[f"meet{m}_utt{u}"] = hyps
     return nbest
+
+
+def stream_of(key):
+    """Carry-over chain id: the recording/meeting prefix."""
+    return key.split("_")[0]
 
 
 def main():
@@ -62,11 +71,11 @@ def main():
     rcfg = RescoreConfig(carry_over=True, max_hyp_len=64)
     scorer = BatchScorer(cfg, params, rcfg)
 
-    # ---- warmup (compile every bucket) then timed batched run
-    warm = OrderedDict(list(nbest.items())[:6])
-    scorer.score_nbest(warm, w2i)
+    # ---- warmup (compile) then timed batched run; carry-over chains run
+    # per recording, in parallel across recordings
+    scorer.score_nbest(nbest, w2i, stream_fn=stream_of)
     t0 = time.perf_counter()
-    scorer.score_nbest(nbest, w2i)
+    scorer.score_nbest(nbest, w2i, stream_fn=stream_of)
     batched_s = time.perf_counter() - t0
     batched_hps = n_total / batched_s
 

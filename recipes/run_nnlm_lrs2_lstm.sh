@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# LRS2 LSTM-LM recipe — mirror of the reference run_nnlm_ami_lstm.sh
+# (stage <=1 train, stage <=2 rescore; same hyperparameters:
+# emb 1024, hid 1024, 2 layers, lr 5 / finetune 0.1, dropout 0.2,
+# batch 32, seq_len 100, 32 epochs; N=20, acwt 0.1, lmwt sweep 7-15).
+#
+# Data layout expected under $data: words.txt train.txt valid.txt test.txt
+# Lattices: text-format word lattices (see tools/src/lattice.hpp).
+set -euo pipefail
+
+stage=1
+data=data/lrs2
+expdir=exp/lrs2_lstm
+uncertainty=none          # none | Bayesian | Gaussian | Variational
+L_bayes_pos=0
+L_gauss_pos=00
+L_v_pos=00
+lr=5
+prior_flags=""
+lattices=""
+arpa=""
+ref=""
+
+. "$(dirname "$0")/parse_options.sh" || true
+
+mkdir -p "$expdir"
+
+if [ "$stage" -le 1 ]; then
+  python -m bayeslms_tpu.cli.main train \
+    --data "$data" --model LSTM --emsize 1024 --nhid 1024 --nlayers 2 \
+    --dropout 0.2 --uncertainty "$uncertainty" --L_bayes_pos "$L_bayes_pos" \
+    --L_gauss_pos "$L_gauss_pos" --L_v_pos "$L_v_pos" \
+    --lr "$lr" --batch-size 32 --seq_len 100 --epochs 32 --clip 1.0 \
+    $prior_flags --save "$expdir/model.ckpt" | tee "$expdir/train.log"
+fi
+
+if [ "$stage" -le 2 ] && [ -n "$lattices" ]; then
+  python -m bayeslms_tpu.cli.main rescore \
+    --lattices "$lattices" --words "$data/words.txt" \
+    --model-path "$expdir/model.ckpt" --workdir "$expdir/rescore" \
+    --model LSTM --emsize 1024 --nhid 1024 --nlayers 2 \
+    --uncertainty "$uncertainty" --L_bayes_pos "$L_bayes_pos" \
+    --N 20 --acwt 0.1 --min-lmwt 7 --max-lmwt 15 \
+    ${arpa:+--arpa "$arpa"} ${ref:+--ref "$ref"} | tee "$expdir/rescore.log"
+fi

@@ -1,0 +1,72 @@
+"""CLI surface + SNR analysis."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bayeslms_tpu import ModelConfig, build_model, init_params
+from bayeslms_tpu.analysis.snr import snr_report
+from bayeslms_tpu.cli.main import main
+from bayeslms_tpu.core.checkpoint import save_checkpoint
+
+
+@pytest.fixture
+def corpus_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    words = ["<s>", "<unk>"] + [f"w{i}" for i in range(18)]
+    (tmp_path / "words.txt").write_text("".join(f"{w} {i}\n" for i, w in enumerate(words)))
+    lines = []
+    for _ in range(120):
+        L = rng.integers(3, 8)
+        lines.append(" ".join(f"w{(i*3) % 18}" for i in range(L)))
+    text = "\n".join(lines) + "\n"
+    for split in ("train", "valid", "test"):
+        (tmp_path / f"{split}.txt").write_text(text)
+    return tmp_path
+
+
+def test_cli_train_then_score_then_snr(corpus_dir, capsys):
+    save = str(corpus_dir / "m.ckpt")
+    rc = main([
+        "train", "--data", str(corpus_dir), "--model", "LSTM",
+        "--uncertainty", "Bayesian", "--L_bayes_pos", "3",
+        "--emsize", "8", "--nhid", "8", "--epochs", "1", "--seq_len", "8",
+        "--batch-size", "4", "--eval-batch-size", "4", "--lr", "1.0",
+        "--save", save,
+    ])
+    assert rc == 0 and os.path.exists(save)
+
+    nbest = corpus_dir / "nbest.txt"
+    nbest.write_text("u1-1 w0 w3\nu1-2 w0 w5\n")
+    out = corpus_dir / "scores.txt"
+    rc = main([
+        "score", "--nbest-list", str(nbest), "--vocabulary",
+        str(corpus_dir / "words.txt"), "--model-path", save,
+        "--outfile", str(out), "--model", "LSTM", "--uncertainty", "Bayesian",
+        "--L_bayes_pos", "3", "--emsize", "8", "--nhid", "8",
+    ])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("u1-1 ")
+
+    capsys.readouterr()  # drain train/score output
+    rc = main(["snr", "--model-path", save, "--L_bayes_pos", "3", "--nhid", "8"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    report = json.loads(captured[captured.index("{"):])
+    assert any("lgstd" in k for k in report)
+    for v in report.values():
+        assert v["median_snr"] > 0
+
+
+def test_snr_report_gate_slice():
+    cfg = ModelConfig(model="LSTM", vocab_size=30, emsize=8, nhid=8,
+                      uncertainty="Bayesian", l_bayes_pos=2)
+    params = init_params(build_model(cfg), cfg)
+    rep = snr_report(params, cfg)
+    key = "core/weight_hh_lgstd_1"
+    assert key in rep
+    assert rep[key]["shape"] == [8, 8]  # (H, H) slice lgstd
+    assert rep[key]["median_snr"] > 0

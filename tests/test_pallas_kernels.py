@@ -1,0 +1,77 @@
+"""Pallas attention + bayes-matmul kernels vs XLA references (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bayeslms_tpu.ops.attention_pallas as ap
+import bayeslms_tpu.ops.bayes_matmul as bm
+from bayeslms_tpu.ops.attention import causal_mask, multihead_attention
+
+
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(ap, "_INTERPRET", True)
+    # bayes_matmul uses pltpu.prng_* — needs the TPU-semantics interpreter
+    # (the generic one has no lowering for prng_seed). NOTE: interpreted PRNG
+    # bits are degenerate, so only *consistency* between the fused matmul and
+    # sample_weights is checkable here; distribution moments and seed
+    # sensitivity are asserted on real TPU by tools/tpu_kernel_check.py.
+    monkeypatch.setattr(bm, "_INTERPRET", pltpu.InterpretParams())
+
+
+@pytest.mark.parametrize("T", [16, 24])  # 24: exercises q-padding
+def test_causal_attention_matches_xla(T):
+    B, E, h = 3, 32, 4
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32)) for _ in range(3))
+    ref = multihead_attention(q, k, v, h, causal_mask(T))
+    got = ap.causal_attention_pallas(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_bayes_matmul_consistency():
+    """Fused sample+matmul equals x @ sample_weights(seed)^T — the two
+    kernels must generate identical per-tile noise (the property the custom
+    VJP depends on)."""
+    M, N, K = 16, 256, 128
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.1)
+    lgstd = jnp.full((N, K), np.log(0.5), jnp.float32)
+    seed = jnp.asarray([7], jnp.int32)
+
+    w_eff = bm.sample_weights(mean, lgstd, seed)
+    y = bm.bayes_matmul(x, mean, lgstd, seed)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_eff.T), rtol=1e-4, atol=1e-4)
+
+    y2 = bm.bayes_matmul(x, mean, lgstd, seed)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_bayes_matmul_grad_matches_xla_formula():
+    """Custom VJP vs autodiff through the explicit sampled-weight formula."""
+    M, N, K = 8, 128, 128
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32) * 0.1)
+    lgstd = jnp.full((N, K), np.log(0.3), jnp.float32)
+    seed = jnp.asarray([3], jnp.int32)
+    w_eff = bm.sample_weights(mean, lgstd, seed)
+    eps = (w_eff - mean) / jnp.exp(lgstd)
+
+    def loss_fused(x, mean, lgstd):
+        return jnp.sum(bm.bayes_matmul(x, mean, lgstd, seed) ** 2)
+
+    def loss_explicit(x, mean, lgstd):
+        w = mean + jnp.exp(lgstd) * eps
+        return jnp.sum((x @ w.T) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, mean, lgstd)
+    g2 = jax.grad(loss_explicit, argnums=(0, 1, 2))(x, mean, lgstd)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)

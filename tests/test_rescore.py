@@ -123,3 +123,32 @@ def test_nbest_io_roundtrip(tmp_path):
     out = tmp_path / "scores"
     write_scores(OrderedDict([("utt1", [("w1 w2", 1.5), ("w1", 2.25)])]), str(out))
     assert out.read_text() == "utt1-1 1.5000\nutt1-2 2.2500\n"
+
+
+def test_parallel_streams_match_per_stream_chains():
+    """Grouping utterances into independent chains gives the same scores as
+    scoring each chain separately with the single-chain scorer."""
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    rcfg = RescoreConfig(carry_over=True, max_hyp_len=16, carry_chunk_utts=2)
+
+    nbest = OrderedDict(
+        [
+            ("m0_u0", ["w1 w2 w3", "w1 w2"]),
+            ("m1_u0", ["w9", "w9 w8 w7"]),
+            ("m0_u1", ["w3 w3 w1", "w3"]),
+            ("m1_u1", ["w5 w6", "w5"]),
+            ("m0_u2", ["w2", "w2 w4"]),
+        ]
+    )
+    got = BatchScorer(cfg, params, rcfg).score_nbest(
+        nbest, W2I, stream_fn=lambda k: k.split("_")[0]
+    )
+    for prefix in ("m0", "m1"):
+        sub = OrderedDict((k, v) for k, v in nbest.items() if k.startswith(prefix))
+        want = BatchScorer(cfg, params, rcfg).score_nbest(sub, W2I)
+        for k in sub:
+            for (h1, s1), (h2, s2) in zip(want[k], got[k]):
+                assert h1 == h2
+                np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=1e-4)
