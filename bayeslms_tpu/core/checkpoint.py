@@ -65,10 +65,17 @@ def partial_update(params, prior_params) -> Tuple[Any, list]:
 def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], cfg) -> dict:
     """Map a reference PyTorch state_dict onto this framework's param tree.
 
-    Supports the standard and Bayesian containers (the parity-test surface).
-    Keys that have no counterpart are skipped; use together with
+    Lets a user of the reference load their trained checkpoints directly
+    (golden-parity tested in tests/test_torch_import.py). Covers the
+    RNN-family containers (torch nn.LSTM/GRU/RNN and the Bayes(2)LSTM
+    mean/lgstd naming) and the Transformer family (torch
+    TransformerEncoderLayer in_proj/out_proj and the reference's self-built
+    qkv_net/o_net/linear1/linear2/norms, plus BayesLinear and the EMB
+    projection). Keys with no counterpart are skipped; compose with
     ``partial_update``.
     """
+    import re
+
     out: Dict[tuple, np.ndarray] = {}
 
     def put(path: str, v):
@@ -83,16 +90,77 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], cfg) -> dict:
                 put("decoder_w", v)
         elif k == "decoder.bias":
             put("decoder_b", v)
-        # torch nn.LSTM/GRU/RNN (RNNModel)
-        elif k.startswith("rnn.weight_ih_l"):
-            put(f"core/l{k[-1]}_w_ih", v)
-        elif k.startswith("rnn.weight_hh_l"):
-            put(f"core/l{k[-1]}_w_hh", v)
-        elif k.startswith("rnn.bias_ih_l"):
-            put(f"core/l{k[-1]}_b_ih", v)
-        elif k.startswith("rnn.bias_hh_l"):
-            put(f"core/l{k[-1]}_b_hh", v)
-        # Bayes2LSTM / BayesLSTM means and lgstds (keep reference names)
+        elif k in ("embed_mean", "embed_lgstd"):  # EMB Bayes projection
+            put(k, v)
+        # ---- torch nn.LSTM/GRU/RNN (RNNModel): weight_ih_l<k> etc. (exact
+        # match so Bayes "weight_hh_lgstd_1" doesn't collide with the
+        # "weight_hh_l" prefix)
+        elif re.fullmatch(r"rnn\.(weight|bias)_(ih|hh)_l(\d+)", k):
+            mm = re.fullmatch(r"rnn\.(weight|bias)_(ih|hh)_l(\d+)", k)
+            kind = "w" if mm.group(1) == "weight" else "b"
+            put(f"core/l{mm.group(3)}_{kind}_{mm.group(2)}", v)
+        # ---- Bayes2LSTM / BayesLSTM means and lgstds (reference names kept)
         elif k.startswith("rnn.") and ("_mean_" in k or "_lgstd_" in k):
             put(f"core/{k[len('rnn.'):]}", v)
+        # ---- Transformer layers (both torch TransformerEncoder's
+        # "transformerlayers.layers.N." and the self-built
+        # "transformerlayers.N." prefixes)
+        else:
+            m = re.match(r"transformerlayers\.(?:layers\.)?(\d+)\.(.*)", k)
+            if not m:
+                continue
+            i, rest = int(m.group(1)), m.group(2)
+            base = f"layers_{i}"
+            table = {
+                "self_attn.in_proj_weight": (f"{base}/self_attn/qkv_net/kernel", True),
+                "self_attn.in_proj_bias": (f"{base}/self_attn/qkv_net/bias", False),
+                "qkv_net.weight": (f"{base}/self_attn/qkv_net/kernel", True),
+                "qkv_net.bias": (f"{base}/self_attn/qkv_net/bias", False),
+                "self_attn.qkv_net.weight": (f"{base}/self_attn/qkv_net/kernel", True),
+                "self_attn.qkv_net.bias": (f"{base}/self_attn/qkv_net/bias", False),
+                "self_attn.out_proj.weight": (f"{base}/self_attn/o_net/kernel", True),
+                "self_attn.out_proj.bias": (f"{base}/self_attn/o_net/bias", False),
+                "self_attn.o_net.weight": (f"{base}/self_attn/o_net/kernel", True),
+                "self_attn.o_net.bias": (f"{base}/self_attn/o_net/bias", False),
+                "self_attn.q_net.weight": (f"{base}/self_attn/q_net/kernel", True),
+                "self_attn.q_net.bias": (f"{base}/self_attn/q_net/bias", False),
+                "self_attn.k_net.weight": (f"{base}/self_attn/k_net/kernel", True),
+                "self_attn.k_net.bias": (f"{base}/self_attn/k_net/bias", False),
+                "self_attn.v_net.weight": (f"{base}/self_attn/v_net/kernel", True),
+                "self_attn.v_net.bias": (f"{base}/self_attn/v_net/bias", False),
+                "self_attn.o_net.weight_mean": (f"{base}/self_attn/o_net/weight_mean", False),
+                "self_attn.o_net.weight_lgstd": (f"{base}/self_attn/o_net/weight_lgstd", False),
+                "linear1.weight": (f"{base}/linear1/kernel", True),
+                "linear1.bias": (f"{base}/linear1/bias", False),
+                "linear2.weight": (f"{base}/linear2/kernel", True),
+                "linear2.bias": (f"{base}/linear2/bias", False),
+                "linear2.weight_mean": (f"{base}/linear2/weight_mean", False),
+                "linear2.weight_lgstd": (f"{base}/linear2/weight_lgstd", False),
+                "norm1.weight": (f"{base}/norm1/scale", False),
+                "norm1.bias": (f"{base}/norm1/bias", False),
+                "norm2.weight": (f"{base}/norm2/scale", False),
+                "norm2.bias": (f"{base}/norm2/bias", False),
+                "gpnn.weights_mean": (f"{base}/gpnn/weights_mean", False),
+                "gpnn.weights_lgstd": (f"{base}/gpnn/weights_lgstd", False),
+                "gpnn.bias_mean": (f"{base}/gpnn/bias_mean", False),
+                "gpnn.bias_lgstd": (f"{base}/gpnn/bias_lgstd", False),
+                "gpnn.coef_mean": (f"{base}/gpnn/coef_mean", False),
+                "gpnn.coef_lgstd": (f"{base}/gpnn/coef_lgstd", False),
+                "hiddens_mean": (f"{base}/hiddens_mean", False),
+                "hiddens_lgstd": (f"{base}/hiddens_lgstd", False),
+                "hiddens_mean_p": (f"{base}/hiddens_mean_p", False),
+                "hiddens_lgstd_p": (f"{base}/hiddens_lgstd_p", False),
+            }
+            if rest in table:
+                path, transpose = table[rest]
+                put(path, v.T if transpose else v)
     return unflatten_dict(out)
+
+
+def load_torch_checkpoint(path: str, cfg) -> dict:
+    """Load a torch .pt state_dict file and map it to this framework."""
+    import torch
+
+    with open(path, "rb") as f:
+        sd = torch.load(f, map_location="cpu")
+    return import_torch_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)

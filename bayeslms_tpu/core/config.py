@@ -135,6 +135,19 @@ class RescoreConfig:
     # WER sweep over LM-scale weights (local/score_asclite.sh:10-11).
     min_lmwt: int = 7
     max_lmwt: int = 15
+    # Monte-Carlo-average inference: average predictive probabilities over K
+    # stochastic forward passes (posterior samples) instead of scoring at the
+    # posterior mean. 0 = mean scoring (reference eval default).
+    mc_samples: int = 0
+    # Backward-LM scoring (dev scorer `--model_var back`,
+    # compute_sentence_scores_bayes_jianwei copy.py:176-217): reverse the
+    # word order of every hypothesis before scoring.
+    backward: bool = False
+    # Cross-utterance context splice (dev scorer `--seg_wise`,
+    # copy.py:101-120): prepend up to this many context tokens (from a
+    # caller-provided context map) before each hypothesis; context positions
+    # are masked out of the score.
+    splice_len: int = 0
 
 
 def to_json(cfg) -> str:

@@ -44,6 +44,11 @@ class BayesDense(nn.Module):
     in_features: int
     out_features: int
     use_bias: bool = False
+    # Fused Pallas sample-and-matmul (ops/bayes_matmul.py): the perturbed
+    # weight never materializes in HBM. None = auto (TPU + aligned dims);
+    # True/False force. The fused path draws its noise from the on-core PRNG
+    # (same distribution as the XLA path, different bits).
+    use_fused: Optional[bool] = None
 
     def setup(self):
         stdv = 1.0 / math.sqrt(self.out_features + 1)
@@ -58,11 +63,33 @@ class BayesDense(nn.Module):
             self.bias_mean = self.param("bias_mean", tinit.uniform(bound), (self.out_features,))
             self.bias_lgstd = self.param("bias_lgstd", tinit.uniform(bound), (self.out_features,))
 
+    def _fused_ok(self, x) -> bool:
+        if self.use_fused is not None:
+            return self.use_fused
+        from ..ops.bayes_matmul import bayes_matmul_ok
+
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        return bayes_matmul_ok(M, self.out_features, self.in_features)
+
     def __call__(self, x, deterministic: bool = True):
-        w = self.weight_mean
-        if not deterministic:
-            w = w + gaussian.sample_diff(self.make_rng("sample"), self.weight_lgstd)
-        y = x @ w.T.astype(x.dtype)
+        if not deterministic and self._fused_ok(x):
+            from ..ops.bayes_matmul import bayes_matmul
+
+            seed = jax.random.randint(
+                self.make_rng("sample"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+            lead = x.shape[:-1]
+            y = bayes_matmul(
+                x.reshape(-1, self.in_features), self.weight_mean, self.weight_lgstd,
+                seed,
+            ).reshape(*lead, self.out_features)
+        else:
+            w = self.weight_mean
+            if not deterministic:
+                w = w + gaussian.sample_diff(self.make_rng("sample"), self.weight_lgstd)
+            y = x @ w.T.astype(x.dtype)
         if self.use_bias:
             b = self.bias_mean
             if not deterministic:
@@ -261,3 +288,73 @@ class VNN(nn.Module):
             )
             / 2.0
         )
+
+
+class GPNNNode(nn.Module):
+    """Node-level GP unit: per-activation weight blocks.
+
+    Reference: ``GPNNNode`` (model.py:1909-2033) — like GPNN but each
+    activation i gets its own (output_size, input_size) weight block
+    (weights stacked to (act_num*output, input)); act_i is applied to its own
+    block's output. Not used by the shipped containers (kept for capability
+    parity with the layer library).
+    """
+
+    input_size: int
+    output_size: int
+    act_set: Sequence[str] = ("sigmoid", "tanh", "relu")
+    gpnn_type: int = 0
+
+    def setup(self):
+        n_act = len(self.act_set)
+        stdv = 1.0 / math.sqrt(n_act * self.output_size)
+        stda = 1.0 / math.sqrt(n_act)
+        self.weights_mean = self.param(
+            "weights_mean", tinit.uniform(stdv), (n_act * self.output_size, self.input_size)
+        )
+        self.bias_mean = self.param("bias_mean", tinit.zeros(), (n_act * self.output_size,))
+        self.coef_mean = self.param(
+            "coef_mean",
+            lambda k, s: jax.random.uniform(k, s, minval=0.0, maxval=1.0),
+            (n_act, self.output_size),
+        )
+        if self.gpnn_type in (1, 3):
+            self.coef_lgstd = self.param(
+                "coef_lgstd", gaussian.lgstd_init(stda), (n_act, self.output_size)
+            )
+        if self.gpnn_type in (2, 3):
+            self.weights_lgstd = self.param(
+                "weights_lgstd", gaussian.lgstd_init(stdv),
+                (n_act * self.output_size, self.input_size),
+            )
+            self.bias_lgstd = self.param(
+                "bias_lgstd", gaussian.lgstd_init(stdv), (n_act * self.output_size,)
+            )
+
+    def __call__(self, x, hx=None, deterministic: bool = True):
+        if hx is not None:
+            x = jnp.concatenate([x, hx], axis=-1)
+        w, b, coef = self.weights_mean, self.bias_mean, self.coef_mean
+        if not deterministic:  # GPNNNode samples whenever training (model.py:2023-2030)
+            if self.gpnn_type in (1, 3):
+                coef = coef + gaussian.sample_diff(self.make_rng("sample"), self.coef_lgstd)
+            if self.gpnn_type in (2, 3):
+                w = w + gaussian.sample_diff(self.make_rng("sample"), self.weights_lgstd)
+                b = b + gaussian.sample_diff(self.make_rng("sample"), self.bias_lgstd)
+        out = x @ w.T.astype(x.dtype) + b.astype(x.dtype)
+        O = self.output_size
+        acc = None
+        for i, act in enumerate(self.act_set):
+            term = ACTS[act](out[..., i * O : (i + 1) * O]) * coef[i].astype(x.dtype)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def kl(self):
+        """model.py:1980-1991 — same -1 closed form as GPNN."""
+        kl = jnp.asarray(0.0)
+        if self.gpnn_type in (1, 3):
+            kl = kl + gaussian.kl_std_normal_m1(self.coef_mean, self.coef_lgstd)
+        if self.gpnn_type in (2, 3):
+            kl = kl + gaussian.kl_std_normal_m1(self.weights_mean, self.weights_lgstd)
+            kl = kl + gaussian.kl_std_normal_m1(self.bias_mean, self.bias_lgstd)
+        return kl

@@ -72,7 +72,7 @@ class StandardRNNCore(nn.Module):
             in_size = cfg.emsize if l == 0 else cfg.nhid
             p = _layer_params(self, f"l{l}", gates, in_size, cfg.nhid)
             if cfg.model == "LSTM":
-                out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask)
+                out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic)
                 cs.append(cT)
             elif cfg.model == "GRU":
                 out, hT = gru_layer(out, h0[l], p, step_mask=step_mask)
@@ -179,7 +179,7 @@ class BayesLSTMCore(nn.Module):
         hs, cs = [], []
         for l in range(2):
             p = LSTMParams(eff[l]["w_ih"], eff[l]["w_hh"], eff[l]["b_ih"], eff[l]["b_hh"])
-            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask)
+            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic)
             hs.append(hT)
             cs.append(cT)
 

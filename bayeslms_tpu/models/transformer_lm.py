@@ -51,7 +51,8 @@ class MultiheadSelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
         out = multihead_attention(
-            q, k, v, self.num_heads, attn_mask, self.dropout, rng, deterministic
+            q, k, v, self.num_heads, attn_mask, self.dropout, rng, deterministic,
+            causal=True,
         )
         return nn.Dense(
             self.embed_dim,
@@ -84,7 +85,8 @@ class BayesMultiheadSelfAttention(nn.Module):
         q, k, v = self.q_net(x), self.k_net(x), self.v_net(x)
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
         out = multihead_attention(
-            q, k, v, self.num_heads, attn_mask, self.dropout, rng, deterministic
+            q, k, v, self.num_heads, attn_mask, self.dropout, rng, deterministic,
+            causal=True,
         )
         return self.o_net(out, deterministic=deterministic)
 

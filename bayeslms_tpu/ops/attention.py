@@ -35,8 +35,22 @@ def multihead_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    causal: bool = False,
 ) -> jax.Array:
-    """Core scaled-dot-product attention over time-major projections."""
+    """Core scaled-dot-product attention over time-major projections.
+
+    ``causal=True`` + deterministic routes to the fused Pallas kernel when
+    enabled (BAYESLM_PALLAS_ATTN=1); training keeps the differentiable
+    einsum path.
+    """
+    if causal and deterministic:
+        import os
+
+        if os.environ.get("BAYESLM_PALLAS_ATTN") == "1":
+            from .attention_pallas import causal_attention_pallas, pallas_attention_ok
+
+            if pallas_attention_ok(q.shape[0], q.shape[2], nhead):
+                return causal_attention_pallas(q, k, v, nhead)
     T, B, E = q.shape
     S = k.shape[0]
     head_dim = E // nhead

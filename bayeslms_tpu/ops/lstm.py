@@ -63,6 +63,7 @@ def lstm_layer(
     p: LSTMParams,
     unroll: int = 8,
     step_mask: Optional[jax.Array] = None,
+    allow_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Single-layer LSTM over a (T, B, in) sequence -> (T, B, H), hT, cT.
 
@@ -71,7 +72,22 @@ def lstm_layer(
     state at each stream's true length. This is what lets the batched N-best
     rescorer keep exact per-hypothesis hidden carry-over over padded,
     length-bucketed batches.
+
+    ``allow_pallas`` routes forward-only calls (eval/scoring) to the fused
+    Pallas recurrence with VMEM-resident W_hh when available; opt in with
+    BAYESLM_PALLAS_LSTM=1 (grad paths must keep the scan).
     """
+    if allow_pallas:
+        import os
+
+        from .lstm_pallas import lstm_layer_pallas, pallas_lstm_ok
+
+        if os.environ.get("BAYESLM_PALLAS_LSTM") == "1" and pallas_lstm_ok(
+            p.w_hh.shape[1], x.dtype
+        ):
+            return lstm_layer_pallas(
+                x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
+            )
     dtype = x.dtype
     w_ih_t = p.w_ih.T.astype(dtype)  # (in, 4H)
     w_hh_t = p.w_hh.T.astype(dtype)  # (H, 4H)

@@ -35,14 +35,35 @@ def write_scores(nbest_and_scores, path: str) -> None:
                 f.write("%s-%d %.4f\n" % (key, idx, score))
 
 
-def encode_hyp(hyp: str, word2idx: Dict[str, int], bos: str = "<s>", unk: str = "<unk>"):
+def encode_hyp(
+    hyp: str,
+    word2idx: Dict[str, int],
+    bos: str = "<s>",
+    unk: str = "<unk>",
+    backward: bool = False,
+    context: str = "",
+    splice_len: int = 0,
+):
     """'<s> w1 … wn' input ids and 'w1 … wn <s>' target ids
-    (get_input_and_target, reference scorer :87-120)."""
+    (get_input_and_target, reference scorer :87-120).
+
+    ``backward`` reverses the hypothesis word order (dev scorer
+    `--model_var back`). ``context``/``splice_len`` prepend up to splice_len
+    trailing context words between <s> and the hypothesis (dev scorer
+    `--seg_wise`); the returned ``n_ctx`` counts target positions to exclude
+    from the score so hypothesis scores stay comparable.
+    """
     words = hyp.split()
+    if backward:
+        words = words[::-1]
+    ctx_words = context.split()[-splice_len:] if (context and splice_len) else []
     unk_id = word2idx.get(unk, 0)
     ids = [word2idx.get(w, unk_id) for w in words]
+    ctx_ids = [word2idx.get(w, unk_id) for w in ctx_words]
     bos_id = word2idx.get(bos, 0)
-    return [bos_id] + ids, ids + [bos_id]
+    inp = [bos_id] + ctx_ids + ids
+    tgt = ctx_ids + ids + [bos_id]
+    return inp, tgt, len(ctx_ids)
 
 
 def pad_batch(
@@ -82,3 +103,35 @@ def bucket_for(length: int, buckets) -> int:
         if length <= b:
             return b
     return buckets[-1]
+
+
+def rewrite_nbest(words_path: str, out_dir: str, max_n: int = 20) -> int:
+    """Split an n-best words archive into per-rank files.
+
+    Equivalent of the reference's word2vec.ipynb `rewrite_nbest` helper:
+    lines "utt-N w1 w2 …" are distributed into out_dir/words.<N> files (one
+    file per hypothesis rank). Returns the number of ranks written.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    handles = {}
+    try:
+        with open(words_path, "r", encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split(" ", 1)
+                if not parts[0]:
+                    continue
+                key, rest = parts[0], parts[1] if len(parts) > 1 else ""
+                utt, n = key.rsplit("-", 1)
+                n = int(n)
+                if n > max_n:
+                    continue
+                if n not in handles:
+                    handles[n] = open(os.path.join(out_dir, f"words.{n}"), "w",
+                                      encoding="utf-8")
+                handles[n].write(f"{utt} {rest}\n")
+    finally:
+        for h in handles.values():
+            h.close()
+    return len(handles)

@@ -66,6 +66,15 @@ class BatchScorer:
             self.model2 = build_model(cfg2 or cfg)
             self.params2 = params2
         self.is_tm = cfg.is_transformer
+        if rcfg.mc_samples > 0:
+            # MC-average inference draws posterior samples but must not
+            # apply dropout; build a dropout-free twin for the MC passes.
+            import dataclasses as _dc
+
+            self.mc_model = build_model(_dc.replace(cfg, dropout=0.0))
+            self._mc_step = jax.jit(self._mc_impl)
+            if rcfg.carry_over and not cfg.is_transformer:
+                raise ValueError("mc_samples requires carry_over=False")
         self._tm_step = jax.jit(self._tm_impl)
         self._rnn_step = jax.jit(self._rnn_impl)
         self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(7,))
@@ -111,12 +120,45 @@ class BatchScorer:
             scores = _masked_ce_sums(logits, tgt, mask)
         return scores, new_h1, new_h2
 
+    def _mc_impl(self, params, data, tgt, mask, key):
+        """Monte-Carlo-average predictive scoring: average token
+        probabilities over mc_samples posterior draws, score = -sum log
+        p_avg(target). Generalizes the reference's posterior-mean eval to
+        true MC inference (BASELINE config: Variational Transformer with
+        MC-average inference)."""
+        K = self.rcfg.mc_samples
+        keys = jax.random.split(key, K)
+        B = data.shape[1]
+
+        def one(k):
+            rngs = {"sample": k, "dropout": k}
+            if self.is_tm:
+                logits = self.mc_model.apply(
+                    {"params": params}, data, deterministic=False, rngs=rngs
+                )
+            else:
+                h = init_hidden(
+                    self.cfg.nlayers, B, self.cfg.nhid,
+                    dtype=jnp.dtype(self.cfg.compute_dtype),
+                )
+                logits, _ = self.mc_model.apply(
+                    {"params": params}, data, h, deterministic=False, rngs=rngs,
+                    step_mask=mask,
+                )
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        lps = jax.lax.map(one, keys)  # (K, T, B, V)
+        lp_avg = jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(float(K))
+        token_lp = jnp.take_along_axis(lp_avg, tgt[..., None], axis=-1)[..., 0]
+        return -(token_lp * mask).sum(axis=0)
+
     # ------------------------------------------------------------ public API
     def score_nbest(
         self,
         nbest: "OrderedDict[str, List[str]]",
         word2idx: Dict[str, int],
         stream_fn=None,
+        context_map: Optional[Dict[str, str]] = None,
     ):
         """``stream_fn(utt_key) -> stream label`` partitions utterances into
         independent carry-over chains (one per recording/conversation).
@@ -126,8 +168,8 @@ class BatchScorer:
         splits chains arbitrarily mid-recording). Default: one global chain
         (bit-faithful to the reference's single-job order)."""
         if self.is_tm or not self.rcfg.carry_over:
-            return self._score_bucketed(nbest, word2idx)
-        return self._score_carry(nbest, word2idx, stream_fn)
+            return self._score_bucketed(nbest, word2idx, context_map)
+        return self._score_carry(nbest, word2idx, stream_fn, context_map)
 
     def _bucket_chunk_impl(self, params, params2, data, tgt, mask):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
@@ -150,13 +192,17 @@ class BatchScorer:
         return scores  # (n, B)
 
     # -- global length-bucketed batching (transformer / no carry-over)
-    def _score_bucketed(self, nbest, word2idx):
+    def _score_bucketed(self, nbest, word2idx, context_map=None):
         rc = self.rcfg
-        items = []  # (key, idx, in_ids, tgt_ids)
+        ctx = context_map or {}
+        items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
         for key, hyps in nbest.items():
             for i, hyp in enumerate(hyps):
-                x, y = encode_hyp(hyp, word2idx)
-                items.append((key, i, x, y))
+                x, y, nc = encode_hyp(
+                    hyp, word2idx, backward=rc.backward,
+                    context=ctx.get(key, ""), splice_len=rc.splice_len,
+                )
+                items.append((key, i, x, y, nc))
         buckets = length_buckets(rc.max_hyp_len)
         by_bucket: Dict[int, list] = {}
         for it in items:
@@ -173,15 +219,28 @@ class BatchScorer:
             for j in range(n):
                 chunk = group[j * Bc : (j + 1) * Bc]
                 d, t, m, _ = pad_batch([c[2] for c in chunk], [c[3] for c in chunk], T, Bc)
+                for c, it in enumerate(chunk):
+                    if it[4]:  # spliced context: exclude from the score
+                        m[: it[4], c] = 0.0
                 data[j], tgt[j], mask[j] = d, t, m
-            out = np.asarray(
-                self._bucket_step(
-                    self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask)
-                )
-            )  # (n, Bc)
+            if rc.mc_samples > 0:
+                outs = [
+                    self._mc_step(
+                        self.params, jnp.asarray(data[j]), jnp.asarray(tgt[j]),
+                        jnp.asarray(mask[j]), jax.random.key(j),
+                    )
+                    for j in range(n)
+                ]
+                out = np.stack([np.asarray(o) for o in outs])
+            else:
+                out = np.asarray(
+                    self._bucket_step(
+                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask)
+                    )
+                )  # (n, Bc)
             for j in range(n):
                 chunk = group[j * Bc : (j + 1) * Bc]
-                for c, (key, i, _, _) in enumerate(chunk):
+                for c, (key, i, _, _, _) in enumerate(chunk):
                     scores[(key, i)] = float(out[j, c])
 
         return self._assemble(nbest, scores)
@@ -225,8 +284,9 @@ class BatchScorer:
         (h1, h2), scores = jax.lax.scan(per_utt, (h1, h2), (data, tgt, mask))
         return scores, h1, h2  # scores: (U, G*N)
 
-    def _score_carry(self, nbest, word2idx, stream_fn=None):
+    def _score_carry(self, nbest, word2idx, stream_fn=None, context_map=None):
         rc = self.rcfg
+        ctx = context_map or {}
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)
         keys = list(nbest.keys())
@@ -240,8 +300,15 @@ class BatchScorer:
         stream_keys = list(streams.values())
         U_total = max(len(s) for s in stream_keys)
 
-        enc = {k: [encode_hyp(h, word2idx) for h in nbest[k]] for k in keys}
-        max_len = max((len(x) for k in keys for x, _ in enc[k]), default=1)
+        enc = {
+            k: [
+                encode_hyp(h, word2idx, backward=rc.backward,
+                           context=ctx.get(k, ""), splice_len=rc.splice_len)
+                for h in nbest[k]
+            ]
+            for k in keys
+        }
+        max_len = max((len(x) for k in keys for x, _, _ in enc[k]), default=1)
         T = bucket_for(max_len, buckets)
 
         cdtype = jnp.dtype(self.cfg.compute_dtype)
@@ -261,8 +328,11 @@ class BatchScorer:
                         continue
                     k = skeys[s + u]
                     d, t, m, _ = pad_batch(
-                        [x for x, _ in enc[k]], [y for _, y in enc[k]], T, N
+                        [x for x, _, _ in enc[k]], [y for _, y, _ in enc[k]], T, N
                     )
+                    for c, (_, _, nc) in enumerate(enc[k]):
+                        if nc:
+                            m[:nc, c] = 0.0
                     col = slice(g * N, (g + 1) * N)
                     data[u, :, col], tgt[u, :, col], mask[u, :, col] = d, t, m
                     slot_key[(u, g)] = k

@@ -1,0 +1,102 @@
+"""Dev-scorer variants: MC-average inference, backward-LM scoring, context
+splice (reference compute_sentence_scores_bayes_jianwei copy.py features)."""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+from bayeslms_tpu.rescore.nbest import encode_hyp
+from bayeslms_tpu.rescore.scorer import BatchScorer
+
+V = 30
+W2I = {w: i for i, w in enumerate(["<s>", "<unk>"] + [f"w{i}" for i in range(V - 2)])}
+NBEST = OrderedDict([("u1", ["w1 w2 w3", "w1 w2"]), ("u2", ["w5"])])
+
+
+def test_encode_backward_and_splice():
+    x, y, nc = encode_hyp("w1 w2 w3", W2I, backward=True)
+    assert x == [0, W2I["w3"], W2I["w2"], W2I["w1"]]
+    assert y == [W2I["w3"], W2I["w2"], W2I["w1"], 0]
+    assert nc == 0
+
+    x, y, nc = encode_hyp("w1", W2I, context="w7 w8 w9", splice_len=2)
+    assert nc == 2
+    assert x == [0, W2I["w8"], W2I["w9"], W2I["w1"]]
+    assert y == [W2I["w8"], W2I["w9"], W2I["w1"], 0]
+
+
+def _tm_cfg(**kw):
+    return ModelConfig(model="Transformer", vocab_size=V, emsize=8, nhid=16,
+                       nlayers=2, nhead=2, dropout=0.0, **kw)
+
+
+def test_mc_average_transformer():
+    """For a deterministic model, MC-average must equal mean scoring; for a
+    variational model it must differ (noise is live) yet stay finite."""
+    cfg = _tm_cfg()
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    mean_scores = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16)).score_nbest(
+        NBEST, W2I
+    )
+    mc_scores = BatchScorer(
+        cfg, params, RescoreConfig(max_hyp_len=16, mc_samples=3)
+    ).score_nbest(NBEST, W2I)
+    for k in NBEST:
+        for (h1, s1), (h2, s2) in zip(mean_scores[k], mc_scores[k]):
+            np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+
+    vcfg = _tm_cfg(uncertainty="Variational", t_v_pos=1, v_seq_len=16)
+    vmodel = build_model(vcfg)
+    vparams = init_params(vmodel, vcfg)
+    v_mean = BatchScorer(vcfg, vparams, RescoreConfig(max_hyp_len=16)).score_nbest(
+        NBEST, W2I
+    )
+    v_mc = BatchScorer(
+        vcfg, vparams, RescoreConfig(max_hyp_len=16, mc_samples=4)
+    ).score_nbest(NBEST, W2I)
+    diffs = [
+        abs(s1 - s2)
+        for k in NBEST
+        for (_, s1), (_, s2) in zip(v_mean[k], v_mc[k])
+    ]
+    assert all(np.isfinite(d) for d in diffs)
+    assert max(diffs) > 1e-6  # sampling actually happened
+
+
+def test_backward_scoring_reverses():
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    fwd = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16, carry_over=False)
+                      ).score_nbest(NBEST, W2I)
+    bwd = BatchScorer(cfg, params,
+                      RescoreConfig(max_hyp_len=16, carry_over=False, backward=True)
+                      ).score_nbest(NBEST, W2I)
+    # backward score of "w1 w2 w3" == forward score of "w3 w2 w1"
+    rev = OrderedDict([("u1", ["w3 w2 w1", "w2 w1"]), ("u2", ["w5"])])
+    rev_fwd = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16, carry_over=False)
+                          ).score_nbest(rev, W2I)
+    np.testing.assert_allclose(bwd["u1"][0][1], rev_fwd["u1"][0][1], rtol=1e-5)
+    assert abs(bwd["u1"][0][1] - fwd["u1"][0][1]) > 1e-6
+
+
+def test_context_splice_masks_context():
+    """Spliced context conditions the model but is excluded from the score:
+    a context-spliced single-word hyp scores differently from no-context
+    (conditioning changed) while remaining a 2-token score."""
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    nb = OrderedDict([("u1", ["w1"])])
+    plain = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16, carry_over=False)
+                        ).score_nbest(nb, W2I)
+    spliced = BatchScorer(
+        cfg, params, RescoreConfig(max_hyp_len=16, carry_over=False, splice_len=3)
+    ).score_nbest(nb, W2I, context_map={"u1": "w7 w8 w9"})
+    assert abs(plain["u1"][0][1] - spliced["u1"][0][1]) > 1e-6
+    # score magnitude ~ 2 tokens of CE, not 5 (context masked out)
+    assert spliced["u1"][0][1] < 3.0 * np.log(V)
