@@ -164,3 +164,24 @@ def load_torch_checkpoint(path: str, cfg) -> dict:
     with open(path, "rb") as f:
         sd = torch.load(f, map_location="cpu")
     return import_torch_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+
+
+# ---------------------------------------------------------------- orbax
+# Optional orbax backend: async, sharding-aware checkpointing for large /
+# multi-host runs (the msgpack path above stays the default for parity with
+# the reference's single-file torch.save workflow).
+
+def save_checkpoint_orbax(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), jax.device_get(params), force=True)
+
+
+def load_checkpoint_orbax(path: str, target=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(os.path.abspath(path), target=target)
+        return ckptr.restore(os.path.abspath(path))

@@ -41,18 +41,25 @@ class MultiheadSelfAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic: bool = True):
-        qkv = nn.Dense(
+    def __call__(self, x, attn_mask=None, deterministic: bool = True, mem=None):
+        """``mem`` (M, B, E): Transformer-XL-style segment memory — keys and
+        values extend over [mem; x] (projected with the same weights) while
+        queries come from x; pass a matching (T, M+T) additive mask."""
+        qkv_net = nn.Dense(
             3 * self.embed_dim,
             kernel_init=tinit.xavier_uniform(),
             bias_init=tinit.zeros(),
             name="qkv_net",
-        )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        )
+        q, k, v = jnp.split(qkv_net(x), 3, axis=-1)
+        if mem is not None:
+            _, mk, mv = jnp.split(qkv_net(mem), 3, axis=-1)
+            k = jnp.concatenate([mk, k], axis=0)
+            v = jnp.concatenate([mv, v], axis=0)
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
         out = multihead_attention(
             q, k, v, self.num_heads, attn_mask, self.dropout, rng, deterministic,
-            causal=True,
+            causal=(mem is None),
         )
         return nn.Dense(
             self.embed_dim,
@@ -112,8 +119,8 @@ class StandardEncoderLayer(nn.Module):
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
 
-    def __call__(self, src, attn_mask=None, deterministic: bool = True):
-        src2 = self.self_attn(src, attn_mask, deterministic)
+    def __call__(self, src, attn_mask=None, deterministic: bool = True, mem=None):
+        src2 = self.self_attn(src, attn_mask, deterministic, mem=mem)
         src = self.norm1(src + self.drop(src2, deterministic=deterministic))
         src2 = self.linear2(
             self.drop(jax.nn.gelu(self.linear1(src), approximate=False), deterministic=deterministic)
@@ -341,12 +348,26 @@ class TransformerLM(nn.Module):
             self.embed_mean = self.param("embed_mean", tinit.uniform(stde), (E, E))
             self.embed_lgstd = self.param("embed_lgstd", gaussian.lgstd_init(stde), (E, E))
 
-    def __call__(self, tokens, deterministic: bool = True):
-        """tokens: (T, B) int32 -> logits (T, B, V)."""
+    def __call__(self, tokens, deterministic: bool = True, mems=None,
+                 return_mems: bool = False):
+        """tokens: (T, B) int32 -> logits (T, B, V).
+
+        ``mems``: optional per-layer list of (M, B, E) segment memories
+        (Transformer-XL-style cross-utterance context, the dev scorer's
+        `--model_var XL` capability, `…copy.py`:206-217). Queries attend
+        causally over [mem; x]. ``return_mems`` additionally returns the new
+        per-layer memories (this segment's layer inputs) for the next call.
+        """
         cfg = self.cfg
         T = tokens.shape[0]
         dtype = jnp.dtype(cfg.compute_dtype)
-        mask = causal_mask(T)
+        if mems is not None:
+            M = mems[0].shape[0]
+            rows = jnp.arange(T)[:, None]
+            cols = jnp.arange(M + T)[None, :]
+            mask = jnp.where(cols <= rows + M, 0.0, -jnp.inf).astype(jnp.float32)
+        else:
+            mask = causal_mask(T)
 
         x = jnp.take(self.embedding, tokens, axis=0).astype(dtype) * math.sqrt(cfg.emsize)
 
@@ -361,9 +382,15 @@ class TransformerLM(nn.Module):
         x = self.drop(x, deterministic=deterministic)
 
         v_layers = self._v_kl_layers()
+        new_mems = []
         for i, layer in enumerate(self.layers):
+            if return_mems:
+                new_mems.append(x)
             if isinstance(layer, VEncoderLayer):
                 x = layer(x, mask, deterministic, count_kl=(i in v_layers))
+            elif isinstance(layer, StandardEncoderLayer):
+                x = layer(x, mask, deterministic,
+                          mem=(mems[i] if mems is not None else None))
             else:
                 x = layer(x, mask, deterministic)
 
@@ -385,7 +412,10 @@ class TransformerLM(nn.Module):
 
         dec_w = self.embedding if cfg.tied else self.decoder_w
         logits = x @ dec_w.T.astype(dtype) + self.decoder_b.astype(dtype)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if return_mems:
+            return logits, new_mems
+        return logits
 
     def _v_kl_layers(self):
         """Which layer indices contribute variational KL (train.py:386-397)."""

@@ -1,0 +1,54 @@
+"""Smaller capability pieces: GPNNNode, rewrite_nbest, profiling, orbax,
+multihost no-op."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayeslms_tpu.models.layers import GPNNNode
+from bayeslms_tpu.parallel.multihost import initialize_multihost, is_primary
+from bayeslms_tpu.rescore.nbest import rewrite_nbest
+from bayeslms_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+def test_gpnnnode_forward_and_kl():
+    m = GPNNNode(6, 4, gpnn_type=3)
+    x = jnp.ones((5, 6))
+    variables = m.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, x
+    )
+    det = m.apply(variables, x, deterministic=True)
+    assert det.shape == (5, 4)
+    sampled = m.apply(variables, x, deterministic=False,
+                      rngs={"sample": jax.random.key(2)})
+    assert not np.allclose(np.asarray(det), np.asarray(sampled))
+    kl = m.apply(variables, method=GPNNNode.kl)
+    assert float(kl) != 0.0
+
+
+def test_rewrite_nbest(tmp_path):
+    p = tmp_path / "words.txt"
+    p.write_text("u1-1 a b\nu1-2 c\nu2-1 d e f\nu2-2 g\n")
+    n = rewrite_nbest(str(p), str(tmp_path / "out"))
+    assert n == 2
+    assert (tmp_path / "out" / "words.1").read_text() == "u1 a b\nu2 d e f\n"
+    assert (tmp_path / "out" / "words.2").read_text() == "u1 c\nu2 g\n"
+
+
+def test_step_timer():
+    t = StepTimer()
+    assert t.tick() is None
+    assert t.tick() is not None
+    assert t.ema_ms >= 0
+
+
+def test_device_memory_stats():
+    stats = device_memory_stats()
+    assert len(stats) == 8  # virtual CPU mesh
+
+
+def test_multihost_noop():
+    assert initialize_multihost() is False  # single process
+    assert is_primary()
