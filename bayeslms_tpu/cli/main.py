@@ -156,6 +156,8 @@ def cmd_search(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bayeslm", description=__doc__)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force the JAX backend (default: environment's)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train", help="train a language model")
@@ -229,6 +231,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # Env vars cannot override an already-registered TPU plugin; the
+        # config call is the reliable way to pick the backend.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

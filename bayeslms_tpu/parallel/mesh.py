@@ -31,8 +31,9 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    assert dp * tp == n, f"dp*tp={dp*tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
+    need = dp * tp
+    assert need <= n, f"dp*tp={need} > {n} available devices"
+    arr = np.asarray(devices[:need]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 

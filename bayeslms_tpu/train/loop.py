@@ -63,13 +63,23 @@ class TrainerState:
 
 
 class Trainer:
-    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig):
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig, mesh=None):
         self.mcfg = model_cfg
         self.tcfg = train_cfg
         self.model = build_model(model_cfg)
         self.is_tm = model_cfg.is_transformer
+        # Data-parallel SPMD: with dp_shards > 1 (or an explicit mesh) the
+        # train step is jitted with NamedShardings — batch sharded over the
+        # `dp` axis, params replicated/tp-sharded per parallel/mesh.py rules;
+        # XLA inserts the gradient all-reduce over ICI.
+        self.mesh = mesh
+        if mesh is None and train_cfg.dp_shards > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dp=train_cfg.dp_shards, tp=1)
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_impl)
+        self._shard_ready = False
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: Optional[int] = None) -> TrainerState:
@@ -139,12 +149,31 @@ class Trainer:
         _, sums = jax.lax.scan(body, hidden, (data, target, mask))
         return jnp.sum(sums)
 
+    def _ensure_sharded(self, params):
+        """Build the sharded step + placement helpers on first use."""
+        if self._shard_ready or self.mesh is None:
+            return
+        from ..parallel.mesh import batch_sharding, hidden_sharding
+        from ..parallel.train_parallel import make_sharded_train_step
+
+        step, p_sh, b_sh, h_sh = make_sharded_train_step(self, self.mesh, params)
+        self._train_step = step
+        self._p_sh, self._b_sh, self._h_sh = p_sh, b_sh, h_sh
+        self._shard_ready = True
+
     # ------------------------------------------------------------------ epoch
     def run_epoch(self, state: TrainerState, train_rows: np.ndarray, epoch_key, log=print):
         tcfg = self.tcfg
         data_all, tgt_all = windows(train_rows, tcfg.seq_len)
         kl_scale = tcfg.seq_len / train_rows.shape[0]
         hidden = init_hidden(self.mcfg.nlayers, train_rows.shape[1], self.mcfg.nhid)
+        self._ensure_sharded(state.params)
+        if self.mesh is not None:
+            state.params = jax.device_put(state.params, self._p_sh)
+            state.opt_state = jax.device_put(
+                state.opt_state, type(state.opt_state)(momentum=self._p_sh)
+            )
+            hidden = jax.device_put(hidden, (self._h_sh, self._h_sh))
         params, opt_state = state.params, state.opt_state
         t0 = time.time()
         n = data_all.shape[0]

@@ -68,3 +68,28 @@ def test_sharded_step_matches_single_device():
         ref_params,
         sh_params,
     )
+
+
+def test_trainer_fit_with_dp_shards(tmp_path):
+    """Trainer.fit with dp_shards=4: the epoch runs through the sharded step
+    and still learns."""
+    import math
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.train.loop import Trainer
+
+    class TinyCorpus:
+        def __init__(self, V=20, n=2000):
+            t = np.arange(n)
+            self.train = ((t * 3) % (V - 2) + 1).astype(np.int32)
+            self.valid = self.train[:400].copy()
+            self.test = self.train[:400].copy()
+
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=12, nhid=12, dropout=0.0)
+    tcfg = TrainConfig(lr=1.0, batch_size=8, eval_batch_size=4, epochs=2,
+                       seq_len=10, log_interval=10**9,
+                       save=str(tmp_path / "m.ckpt"), dp_shards=4)
+    trainer = Trainer(cfg, tcfg)
+    assert trainer.mesh is not None and trainer.mesh.shape["dp"] == 4
+    state, out = trainer.fit(TinyCorpus(), log=lambda *a: None)
+    assert out["history"][-1]["val_loss"] < out["history"][0]["val_loss"]
+    assert out["test_loss"] < math.log(20)
