@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Training throughput on the real TPU chip: tokens/sec for the flagship
+recipe configurations (AMI LSTM 1024/1024x2 and Transformer 512/4096x6,
+batch 32, seq 100, ~49k vocab, bf16 compute).
+
+Run under the default TPU env: python tools/tpu_train_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_model(name, cfg, steps=20):
+    from bayeslms_tpu import TrainConfig
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+    from bayeslms_tpu.train.loop import Trainer
+
+    T, B = 100, 32
+    trainer = Trainer(cfg, TrainConfig(batch_size=B, seq_len=T, lr=0.1))
+    state = trainer.init_state(seed=0)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, cfg.vocab_size, (T, B)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, cfg.vocab_size, (T, B)).astype(np.int32))
+    hidden = init_hidden(cfg.nlayers, B, cfg.nhid)
+    lr = jnp.asarray(0.1, jnp.float32)
+    ks = jnp.asarray(0.01, jnp.float32)
+
+    params, opt = state.params, state.opt_state
+    # warmup/compile
+    out = trainer._train_step(params, opt, hidden, data, tgt, lr, ks, jax.random.key(0))
+    params, opt = out[0], out[1]
+    float(out[3])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = trainer._train_step(
+            params, opt, hidden, data, tgt, lr, ks, jax.random.key(i + 1)
+        )
+        params, opt = out[0], out[1]
+    float(out[3])  # single sync at the end
+    dt = (time.perf_counter() - t0) / steps
+    toks = T * B / dt
+    print(f"{name}: {dt*1000:.1f} ms/step, {toks/1e3:.1f}k tokens/sec", flush=True)
+    return toks
+
+
+if __name__ == "__main__":
+    from bayeslms_tpu import ModelConfig
+
+    # select a single config via argv to bound each invocation's compile
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("platform:", jax.devices()[0].platform, flush=True)
+    V = 49152
+    if which in ("all", "lstm"): bench_model(
+        "LSTM-1024x2 (none)",
+        ModelConfig(model="LSTM", vocab_size=V, emsize=1024, nhid=1024,
+                    dropout=0.2, compute_dtype="bfloat16"),
+    )
+    if which in ("all", "bayes-lstm"): bench_model(
+        "LSTM-1024x2 (Bayesian pos=3)",
+        ModelConfig(model="LSTM", vocab_size=V, emsize=1024, nhid=1024,
+                    dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Bayesian", l_bayes_pos=3),
+    )
+    if which in ("all", "tm"): bench_model(
+        "Transformer-512/4096x6 (none)",
+        ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
+                    nlayers=6, nhead=8, dropout=0.2, compute_dtype="bfloat16"),
+    )
+    if which in ("all", "bayes-tm"): bench_model(
+        "Transformer-512/4096x6 (Bayesian FFN)",
+        ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
+                    nlayers=6, nhead=8, dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Bayesian", t_bayes_pos="FFN"),
+    )
