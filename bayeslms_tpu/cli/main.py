@@ -87,6 +87,8 @@ def cmd_score(args) -> int:
     rcfg = RescoreConfig(
         carry_over=not args.no_carry_over, inter_flag=args.interpolation_flag,
         inter_alpha=args.inter_alpha, max_hyp_len=args.max_hyp_len,
+        mc_samples=args.mc_samples, backward=args.backward,
+        splice_len=args.splice_len,
     )
     params2 = cfg2 = None
     if args.interpolation_flag:
@@ -189,6 +191,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--inter_alpha", type=float, default=0.8)
     s.add_argument("--no-carry-over", action="store_true")
     s.add_argument("--max-hyp-len", type=int, default=128)
+    s.add_argument("--mc-samples", type=int, default=0,
+                   help="MC-average inference over K posterior draws")
+    s.add_argument("--backward", action="store_true",
+                   help="backward-LM scoring (reverse word order)")
+    s.add_argument("--splice-len", type=int, default=0,
+                   help="context-splice length (dev scorer --seg_wise)")
     s.set_defaults(fn=cmd_score)
 
     r = sub.add_parser("rescore", help="full lattice rescoring pipeline")

@@ -108,6 +108,9 @@ class TrainConfig:
     prior: bool = False
     prior_path: Optional[str] = None
     save: str = "model.ckpt"
+    # Full-state resume (params + momentum + schedule). The reference's
+    # --resume flag existed but was wired out (train.py:92-93, :108-118).
+    resume: bool = False
     # Parallelism: number of data-parallel shards (mesh 'dp' axis). The global
     # batch is sharded over this axis; 1 = single chip.
     dp_shards: int = 1

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import re
 import subprocess
+import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -35,6 +36,18 @@ from .nbest import load_nbest, write_scores
 _TOOLS = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "tools", "bin")
 )
+
+
+def _run_tool(cmd, retries: int = 2, **kw):
+    """Run a pipeline stage with retries (the reference's flaky-job handling,
+    utils/parallel/retry.pl)."""
+    for attempt in range(retries + 1):
+        try:
+            return subprocess.run(cmd, check=True, **kw)
+        except subprocess.CalledProcessError:
+            if attempt == retries:
+                raise
+            time.sleep(0.5 * (attempt + 1))
 
 
 def _tool(name: str, tools_dir: Optional[str] = None) -> str:
@@ -83,30 +96,24 @@ def run_pipeline(
     lmwt_withlm = os.path.join(workdir, "lmwt.withlm")
     acwt = os.path.join(workdir, "acwt")
     ali = os.path.join(workdir, "ali")
-    subprocess.run(
+    _run_tool(
         [
             _tool("lattice_to_nbest", tools_dir),
             f"--n={rcfg.nbest}",
             f"--acoustic-scale={rcfg.acwt}",
             lattices, words_int, lmwt_withlm, acwt, ali,
-        ],
-        check=True,
+        ]
     )
 
     # -- stage 3 (early, needed by 2 and 4): ids -> words
     words_text = os.path.join(workdir, "words.txt")
-    subprocess.run(
-        [_tool("int2sym", tools_dir), words_txt, words_int, words_text], check=True
-    )
+    _run_tool([_tool("int2sym", tools_dir), words_txt, words_int, words_text])
 
     # -- stage 2: old-LM scores
     lm_withlm = _read_scores(lmwt_withlm)
     if arpa_lm:
         lmonly_path = os.path.join(workdir, "lmwt.lmonly")
-        subprocess.run(
-            [_tool("arpa_score", tools_dir), arpa_lm, words_text, lmonly_path],
-            check=True,
-        )
+        _run_tool([_tool("arpa_score", tools_dir), arpa_lm, words_text, lmonly_path])
         lm_only = _read_scores(lmonly_path)
     else:
         lm_only = {k: 0.0 for k in lm_withlm}
@@ -134,10 +141,7 @@ def run_pipeline(
 
     # -- stage 6: rebuild lattices
     lats_out = os.path.join(workdir, "rescored_lats.txt")
-    subprocess.run(
-        [_tool("nbest_to_lattice", tools_dir), words_int, lmwt_final, acwt, lats_out],
-        check=True,
-    )
+    _run_tool([_tool("nbest_to_lattice", tools_dir), words_int, lmwt_final, acwt, lats_out])
     res.rescored_lattices = lats_out
 
     # -- stage 7: WER sweep (needs references)
@@ -162,9 +166,9 @@ def run_pipeline(
             with open(hyp_path, "w") as f:
                 for utt, k in pick.items():
                     f.write(utt + " " + " ".join(hyp_texts[k]) + "\n")
-            out = subprocess.run(
+            out = _run_tool(
                 [_tool("wer", tools_dir), ref_text, hyp_path],
-                check=True, capture_output=True, text=True,
+                capture_output=True, text=True,
             ).stdout
             m = re.search(r"%WER (\d+\.\d+)", out)
             wer = float(m.group(1))

@@ -227,6 +227,39 @@ class Trainer:
         )
         return total / (bsz * (rows.shape[0] - 1))
 
+    # ------------------------------------------------------------------ resume
+    def _save_resume(self, state: TrainerState):
+        """Full training-state snapshot (params + momentum + schedule) so an
+        interrupted run continues exactly. The reference's --resume flag was
+        wired but commented out (train.py:92-93, :108-118); here it works."""
+        save_checkpoint(
+            self.tcfg.save + ".resume",
+            {"params": state.params, "momentum": state.opt_state.momentum},
+            meta={
+                "epoch": state.epoch,
+                "lr": state.lr,
+                "best_val_loss": state.best_val_loss,
+                "plateaus": state.plateaus,
+            },
+        )
+
+    def _try_resume(self) -> Optional[TrainerState]:
+        import os
+
+        path = self.tcfg.save + ".resume"
+        if not (self.tcfg.resume and os.path.exists(path)):
+            return None
+        blob, meta = load_checkpoint(path)
+        params = jax.tree.map(jnp.asarray, blob["params"])
+        return TrainerState(
+            params=params,
+            opt_state=OptState(momentum=jax.tree.map(jnp.asarray, blob["momentum"])),
+            lr=float(meta["lr"]),
+            best_val_loss=meta["best_val_loss"],
+            plateaus=int(meta["plateaus"]),
+            epoch=int(meta["epoch"]),
+        )
+
     # ------------------------------------------------------------------ fit
     def fit(self, corpus, log=print):
         tcfg = self.tcfg
@@ -235,10 +268,14 @@ class Trainer:
         val_rows = batchify(corpus.valid, tcfg.eval_batch_size)
         test_rows = batchify(corpus.test, tcfg.eval_batch_size)
 
-        state = self.init_state()
+        resumed = self._try_resume()
+        state = resumed if resumed is not None else self.init_state()
+        start_epoch = state.epoch + 1 if resumed is not None else 1
+        if resumed is not None:
+            log(f"resumed from epoch {state.epoch} (lr {state.lr})")
         root_key = jax.random.key(tcfg.seed)
         history = []
-        for epoch in range(1, tcfg.epochs + 1):
+        for epoch in range(start_epoch, tcfg.epochs + 1):
             state.epoch = epoch
             t0 = time.time()
             state = self.run_epoch(state, train_rows, jax.random.fold_in(root_key, epoch), log)
@@ -262,6 +299,8 @@ class Trainer:
                 state.params = jax.tree.map(jnp.asarray, best)
                 state.opt_state = init_opt_state(state.params)
                 state.plateaus += 1
+            if tcfg.resume:
+                self._save_resume(state)
             if state.plateaus >= tcfg.max_plateaus:
                 break
 

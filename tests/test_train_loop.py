@@ -104,3 +104,27 @@ def test_prior_partial_load(tmp_path):
     # lgstd params exist only in the Bayes model and keep their fresh init
     assert "weight_ih_lgstd_1" in s2.params["core"]
     assert "weight_ih_lgstd_1" not in s1.params["core"]
+
+
+def test_resume_continues_schedule(tmp_path):
+    """Interrupt after 2 epochs; resuming runs epochs 3+ with the schedule
+    state (lr/best/plateaus) intact and reaches the same quality ballpark."""
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=10, nhid=10, dropout=0.0)
+    save = str(tmp_path / "m.ckpt")
+    corpus = TinyCorpus()
+
+    t1 = Trainer(cfg, TrainConfig(lr=1.0, batch_size=4, eval_batch_size=4,
+                                  epochs=2, seq_len=10, log_interval=10**9,
+                                  save=save, resume=True))
+    s1, out1 = t1.fit(corpus, log=lambda *a: None)
+    assert os.path.exists(save + ".resume")
+
+    t2 = Trainer(cfg, TrainConfig(lr=1.0, batch_size=4, eval_batch_size=4,
+                                  epochs=4, seq_len=10, log_interval=10**9,
+                                  save=save, resume=True))
+    msgs = []
+    s2, out2 = t2.fit(corpus, log=msgs.append)
+    assert any("resumed from epoch 2" in str(m) for m in msgs)
+    # continued run covers epochs 3..4 only
+    assert [h["epoch"] for h in out2["history"]] == [3, 4]
+    assert out2["history"][-1]["val_loss"] <= out1["history"][-1]["val_loss"] + 0.05
