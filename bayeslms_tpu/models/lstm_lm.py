@@ -578,12 +578,17 @@ class RecurrentLM(nn.Module):
         else:
             raise ValueError(cfg.uncertainty)
 
-    def __call__(self, tokens, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, tokens, hidden: Hidden, deterministic: bool = True,
+                 step_mask=None, return_hidden: bool = False):
         """tokens: (T, B) int32 -> logits (T, B, V), new hidden.
 
         ``step_mask`` (T, B) freezes recurrent state on padded steps so the
         returned hidden equals the state at each stream's true length (used
-        by the batched rescorer's exact carry-over).
+        by the batched rescorer's exact carry-over). ``return_hidden=True``
+        skips the vocabulary projection and returns the pre-decoder states
+        (T, B, H) instead of logits — the fused decode+CE kernel
+        (ops/ce_pallas.py) consumes these so the (T, B, V) logits never
+        materialize.
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -591,6 +596,8 @@ class RecurrentLM(nn.Module):
         emb = self.drop(emb, deterministic=deterministic)
         out, hidden = self.core(emb, hidden, deterministic, step_mask)
         out = self.drop(out, deterministic=deterministic)
+        if return_hidden:
+            return out, hidden
         dec_w = self.embedding if cfg.tied else self.decoder_w
         logits = out @ dec_w.T.astype(dtype) + self.decoder_b.astype(dtype)
         return logits.astype(jnp.float32), hidden

@@ -349,7 +349,7 @@ class TransformerLM(nn.Module):
             self.embed_lgstd = self.param("embed_lgstd", gaussian.lgstd_init(stde), (E, E))
 
     def __call__(self, tokens, deterministic: bool = True, mems=None,
-                 return_mems: bool = False):
+                 return_mems: bool = False, return_hidden: bool = False):
         """tokens: (T, B) int32 -> logits (T, B, V).
 
         ``mems``: optional per-layer list of (M, B, E) segment memories
@@ -410,6 +410,9 @@ class TransformerLM(nn.Module):
             # MEAN projection, not the sampled one.
             x = x @ self.embed_mean.astype(dtype)
 
+        if return_hidden:
+            # pre-decoder states for the fused decode+CE kernel
+            return (x, new_mems) if return_mems else x
         dec_w = self.embedding if cfg.tied else self.decoder_w
         logits = x @ dec_w.T.astype(dtype) + self.decoder_b.astype(dtype)
         logits = logits.astype(jnp.float32)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import os
+
 from ..core.config import ModelConfig, RescoreConfig
 from ..core.registry import build_model
 from ..models.lstm_lm import init_hidden
@@ -66,6 +68,21 @@ class BatchScorer:
             self.model2 = build_model(cfg2 or cfg)
             self.params2 = params2
         self.is_tm = cfg.is_transformer
+        # Fused decode+CE (ops/ce_pallas.py): never materialize (T, B, V)
+        # logits. EXPERIMENTAL, opt-in via BAYESLM_FUSED_CE=1: the kernel is
+        # validated standalone on TPU (tools/tpu_kernel_check.py) but its
+        # compile time inside the chunked carry scan is currently
+        # pathological on the remote-compile path, so the default scoring
+        # path keeps the XLA decoder.
+        from ..ops.ce_pallas import fused_ce_ok
+
+        dim = cfg.emsize if cfg.is_transformer else cfg.nhid
+        self.use_fused_ce = (
+            os.environ.get("BAYESLM_FUSED_CE", "0") == "1"
+            and rcfg.inter_flag == 0
+            and cfg.tied
+            and fused_ce_ok(dim)
+        )
         if rcfg.mc_samples > 0:
             # MC-average inference draws posterior samples but must not
             # apply dropout; build a dropout-free twin for the MC passes.
@@ -80,8 +97,19 @@ class BatchScorer:
         self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(7,))
         self._bucket_step = jax.jit(self._bucket_chunk_impl)
 
+    def _fused_scores(self, params, h, tgt, mask):
+        from ..ops.ce_pallas import fused_decode_ce
+
+        ce = fused_decode_ce(h, params["embedding"], params["decoder_b"], tgt)
+        return (ce * mask).sum(axis=0)
+
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
+        if self.use_fused_ce:
+            h = self.model.apply(
+                {"params": params}, data, deterministic=True, return_hidden=True
+            )
+            return self._fused_scores(params, h, tgt, mask)
         logits = self.model.apply({"params": params}, data, deterministic=True)
         if self.interp == 1:
             logits2 = self.model2.apply({"params": params2}, data, deterministic=True)
@@ -97,6 +125,12 @@ class BatchScorer:
         return _masked_ce_sums(logits, tgt, mask)
 
     def _rnn_impl(self, params, params2, data, tgt, mask, h1, h2):
+        if self.use_fused_ce:
+            h, new_h1 = self.model.apply(
+                {"params": params}, data, h1, deterministic=True, step_mask=mask,
+                return_hidden=True,
+            )
+            return self._fused_scores(params, h, tgt, mask), new_h1, h2
         logits, new_h1 = self.model.apply(
             {"params": params}, data, h1, deterministic=True, step_mask=mask
         )

@@ -75,3 +75,28 @@ def test_bayes_matmul_grad_matches_xla_formula():
     g2 = jax.grad(loss_explicit, argnums=(0, 1, 2))(x, mean, lgstd)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_decode_ce_matches_xla(monkeypatch):
+    """Fused decoder+CE (online logsumexp over vocab tiles) vs explicit
+    logits+CE, including vocab/token padding paths."""
+    import optax
+    import bayeslms_tpu.ops.ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    rng = np.random.default_rng(0)
+    T, B, D, V = 5, 3, 16, 200  # V pads to 256, M=15 pads to 16
+    h = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.integers(0, V, size=(T, B)).astype(np.int32))
+
+    got = cp.fused_decode_ce(h, emb, bias, tgt)
+    logits = h @ emb.T + bias
+    want = optax.softmax_cross_entropy_with_integer_labels(
+        logits.reshape(-1, V), tgt.reshape(-1)
+    ).reshape(T, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

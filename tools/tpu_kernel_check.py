@@ -89,8 +89,30 @@ def check_attention():
     print("attention_pallas: OK (T=100 causal vs XLA, bf16-pass tolerance)")
 
 
+def check_fused_ce():
+    from bayeslms_tpu.ops.ce_pallas import fused_decode_ce
+    import optax
+
+    rng = np.random.default_rng(0)
+    T, B, D, V = 16, 8, 256, 4096
+    h = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32) * 0.2)
+    emb = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.integers(0, V, size=(T, B)).astype(np.int32))
+    got = np.asarray(fused_decode_ce(h, emb, bias, tgt))
+    logits = h @ emb.T + bias
+    want = np.asarray(
+        optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, V), tgt.reshape(-1)
+        ).reshape(T, B)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    print("fused_decode_ce: OK (online logsumexp vs XLA CE)")
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform)
+    check_fused_ce()
     check_attention()
     check_lstm()
     check_bayes_matmul()
