@@ -201,6 +201,18 @@ class BatchScorer:
         cross-utterance context means (the reference's nj=5 sharding even
         splits chains arbitrarily mid-recording). Default: one global chain
         (bit-faithful to the reference's single-job order)."""
+        if context_map is None and self.rcfg.splice_len > 0:
+            # auto seg_wise: splice each utterance with the FIRST hypothesis
+            # of the previous utterance in its chain (the dev scorer reads
+            # the previous decode's text, `…copy.py`:101-120; hyp 1 is the
+            # lattice-best and matches the carry-over convention :261-274)
+            context_map = {}
+            last: Dict[str, str] = {}
+            for k, hyps in nbest.items():
+                label = stream_fn(k) if stream_fn else "_all"
+                context_map[k] = last.get(label, "")
+                if hyps:
+                    last[label] = (last.get(label, "") + " " + hyps[0]).strip()
         if self.is_tm or not self.rcfg.carry_over:
             return self._score_bucketed(nbest, word2idx, context_map)
         return self._score_carry(nbest, word2idx, stream_fn, context_map)

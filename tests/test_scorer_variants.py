@@ -100,3 +100,23 @@ def test_context_splice_masks_context():
     assert abs(plain["u1"][0][1] - spliced["u1"][0][1]) > 1e-6
     # score magnitude ~ 2 tokens of CE, not 5 (context masked out)
     assert spliced["u1"][0][1] < 3.0 * np.log(V)
+
+
+def test_auto_splice_chains_previous_first_hyp():
+    """With splice_len set and no explicit context_map, each utterance is
+    conditioned on the accumulated first-hypothesis text of its chain."""
+    cfg = _tm_cfg()
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    nb = OrderedDict([("u1", ["w1 w2"]), ("u2", ["w5"]), ("u3", ["w7"])])
+
+    auto = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16, splice_len=4)
+                       ).score_nbest(nb, W2I)
+    manual = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16, splice_len=4)
+                         ).score_nbest(nb, W2I, context_map={
+                             "u1": "", "u2": "w1 w2", "u3": "w1 w2 w5"})
+    for k in nb:
+        np.testing.assert_allclose(auto[k][0][1], manual[k][0][1], rtol=1e-5)
+    # and the context must matter (u2 differs from no-splice scoring)
+    plain = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16)).score_nbest(nb, W2I)
+    assert abs(plain["u2"][0][1] - auto["u2"][0][1]) > 1e-6
