@@ -94,7 +94,7 @@ class BatchScorer:
                 raise ValueError("mc_samples requires carry_over=False")
         self._tm_step = jax.jit(self._tm_impl)
         self._rnn_step = jax.jit(self._rnn_impl)
-        self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(7,))
+        self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
         self._bucket_step = jax.jit(self._bucket_chunk_impl)
 
     def _fused_scores(self, params, h, tgt, mask):
@@ -124,37 +124,41 @@ class BatchScorer:
             )
         return _masked_ce_sums(logits, tgt, mask)
 
-    def _rnn_impl(self, params, params2, data, tgt, mask, h1, h2):
+    def _rnn_impl(self, params, params2, data, tgt, step_mask, ce_mask, h1, h2):
+        """``step_mask`` covers every REAL input position (context + hyp) so
+        the recurrence processes them; ``ce_mask`` additionally excludes
+        spliced-context positions from the score. They are identical unless
+        context splicing is active."""
         if self.use_fused_ce:
             h, new_h1 = self.model.apply(
-                {"params": params}, data, h1, deterministic=True, step_mask=mask,
-                return_hidden=True,
+                {"params": params}, data, h1, deterministic=True,
+                step_mask=step_mask, return_hidden=True,
             )
-            return self._fused_scores(params, h, tgt, mask), new_h1, h2
+            return self._fused_scores(params, h, tgt, ce_mask), new_h1, h2
         logits, new_h1 = self.model.apply(
-            {"params": params}, data, h1, deterministic=True, step_mask=mask
+            {"params": params}, data, h1, deterministic=True, step_mask=step_mask
         )
         new_h2 = h2
         if self.interp == 1:
             logits2, new_h2 = self.model2.apply(
-                {"params": params2}, data, h2, deterministic=True, step_mask=mask
+                {"params": params2}, data, h2, deterministic=True, step_mask=step_mask
             )
             a = self.rcfg.inter_alpha
             logits = a * logits + (1.0 - a) * logits2
-            scores = _masked_ce_sums(logits, tgt, mask)
+            scores = _masked_ce_sums(logits, tgt, ce_mask)
         elif self.interp == 2:
             logits2, new_h2 = self.model2.apply(
-                {"params": params2}, data, h2, deterministic=True, step_mask=mask
+                {"params": params2}, data, h2, deterministic=True, step_mask=step_mask
             )
             a = self.rcfg.inter_alpha
-            scores = a * _masked_ce_sums(logits, tgt, mask) + (
+            scores = a * _masked_ce_sums(logits, tgt, ce_mask) + (
                 1.0 - a
-            ) * _masked_ce_sums(logits2, tgt, mask)
+            ) * _masked_ce_sums(logits2, tgt, ce_mask)
         else:
-            scores = _masked_ce_sums(logits, tgt, mask)
+            scores = _masked_ce_sums(logits, tgt, ce_mask)
         return scores, new_h1, new_h2
 
-    def _mc_impl(self, params, data, tgt, mask, key):
+    def _mc_impl(self, params, data, tgt, step_mask, ce_mask, key):
         """Monte-Carlo-average predictive scoring: average token
         probabilities over mc_samples posterior draws, score = -sum log
         p_avg(target). Generalizes the reference's posterior-mean eval to
@@ -177,14 +181,14 @@ class BatchScorer:
                 )
                 logits, _ = self.mc_model.apply(
                     {"params": params}, data, h, deterministic=False, rngs=rngs,
-                    step_mask=mask,
+                    step_mask=step_mask,
                 )
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
         lps = jax.lax.map(one, keys)  # (K, T, B, V)
         lp_avg = jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(float(K))
         token_lp = jnp.take_along_axis(lp_avg, tgt[..., None], axis=-1)[..., 0]
-        return -(token_lp * mask).sum(axis=0)
+        return -(token_lp * ce_mask).sum(axis=0)
 
     # ------------------------------------------------------------ public API
     def score_nbest(
@@ -217,24 +221,24 @@ class BatchScorer:
             return self._score_bucketed(nbest, word2idx, context_map)
         return self._score_carry(nbest, word2idx, stream_fn, context_map)
 
-    def _bucket_chunk_impl(self, params, params2, data, tgt, mask):
+    def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
         device call (host round trips cost ~25 ms each through the tunnel)."""
         if self.is_tm:
             def body(_, inp):
-                d, t, m = inp
-                return None, self._tm_impl(params, params2, d, t, m)
+                d, t, m, cm = inp
+                return None, self._tm_impl(params, params2, d, t, cm)
         else:
             B = data.shape[2]
             cdtype = jnp.dtype(self.cfg.compute_dtype)
             h = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
 
             def body(_, inp):
-                d, t, m = inp
-                s, _, _ = self._rnn_impl(params, params2, d, t, m, h, h)
+                d, t, m, cm = inp
+                s, _, _ = self._rnn_impl(params, params2, d, t, m, cm, h, h)
                 return None, s
 
-        _, scores = jax.lax.scan(body, None, (data, tgt, mask))
+        _, scores = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
         return scores  # (n, B)
 
     # -- global length-bucketed batching (transformer / no carry-over)
@@ -262,18 +266,20 @@ class BatchScorer:
             data = np.zeros((n, T, Bc), np.int32)
             tgt = np.zeros((n, T, Bc), np.int32)
             mask = np.zeros((n, T, Bc), np.float32)
+            ce_mask = np.zeros((n, T, Bc), np.float32)
             for j in range(n):
                 chunk = group[j * Bc : (j + 1) * Bc]
                 d, t, m, _ = pad_batch([c[2] for c in chunk], [c[3] for c in chunk], T, Bc)
+                cm = m.copy()
                 for c, it in enumerate(chunk):
-                    if it[4]:  # spliced context: exclude from the score
-                        m[: it[4], c] = 0.0
-                data[j], tgt[j], mask[j] = d, t, m
+                    if it[4]:  # spliced context: exclude from the score only
+                        cm[: it[4], c] = 0.0
+                data[j], tgt[j], mask[j], ce_mask[j] = d, t, m, cm
             if rc.mc_samples > 0:
                 outs = [
                     self._mc_step(
                         self.params, jnp.asarray(data[j]), jnp.asarray(tgt[j]),
-                        jnp.asarray(mask[j]), jax.random.key(j),
+                        jnp.asarray(mask[j]), jnp.asarray(ce_mask[j]), jax.random.key(j),
                     )
                     for j in range(n)
                 ]
@@ -281,7 +287,8 @@ class BatchScorer:
             else:
                 out = np.asarray(
                     self._bucket_step(
-                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask)
+                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
+                        jnp.asarray(mask), jnp.asarray(ce_mask),
                     )
                 )  # (n, Bc)
             for j in range(n):
@@ -298,7 +305,7 @@ class BatchScorer:
     # sub-ms per-utterance compute. Utterances are padded to a common
     # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
     # carried hidden exact at each hypothesis's true length.
-    def _carry_chunk_impl(self, params, params2, data, tgt, mask, h1, h2, N: int):
+    def _carry_chunk_impl(self, params, params2, data, tgt, mask, ce_mask, h1, h2, N: int):
         """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
         parallel chains of N hypotheses; h1/h2: (layers, G, H) carried."""
         L = h1[0].shape[0]
@@ -321,13 +328,15 @@ class BatchScorer:
 
         def per_utt(carry, inp):
             c1, c2 = carry
-            d_t, t_t, m_t = inp
+            d_t, t_t, m_t, cm_t = inp
             scores, nh1, nh2 = self._rnn_impl(
-                params, params2, d_t, t_t, m_t, bcast(c1), bcast(c2)
+                params, params2, d_t, t_t, m_t, cm_t, bcast(c1), bcast(c2)
             )
             return (first_hyp(nh1), first_hyp(nh2)), scores
 
-        (h1, h2), scores = jax.lax.scan(per_utt, (h1, h2), (data, tgt, mask))
+        (h1, h2), scores = jax.lax.scan(
+            per_utt, (h1, h2), (data, tgt, mask, ce_mask)
+        )
         return scores, h1, h2  # scores: (U, G*N)
 
     def _score_carry(self, nbest, word2idx, stream_fn=None, context_map=None):
@@ -367,6 +376,7 @@ class BatchScorer:
             data = np.zeros((U, T, G * N), np.int32)
             tgt = np.zeros((U, T, G * N), np.int32)
             mask = np.zeros((U, T, G * N), np.float32)
+            ce_mask = np.zeros((U, T, G * N), np.float32)
             slot_key = {}
             for g, skeys in enumerate(stream_keys):
                 for u in range(U):
@@ -376,16 +386,18 @@ class BatchScorer:
                     d, t, m, _ = pad_batch(
                         [x for x, _, _ in enc[k]], [y for _, y, _ in enc[k]], T, N
                     )
+                    cm = m.copy()
                     for c, (_, _, nc) in enumerate(enc[k]):
-                        if nc:
-                            m[:nc, c] = 0.0
+                        if nc:  # context conditions the model, not the score
+                            cm[:nc, c] = 0.0
                     col = slice(g * N, (g + 1) * N)
-                    data[u, :, col], tgt[u, :, col], mask[u, :, col] = d, t, m
+                    data[u, :, col], tgt[u, :, col] = d, t
+                    mask[u, :, col], ce_mask[u, :, col] = m, cm
                     slot_key[(u, g)] = k
             out, carry1, carry2 = self._carry_step(
                 self.params, self.params2 if self.interp else self.params,
                 jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                carry1, carry2, N,
+                jnp.asarray(ce_mask), carry1, carry2, N,
             )
             out = np.asarray(out)  # (U, G*N)
             for (u, g), k in slot_key.items():

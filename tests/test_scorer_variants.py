@@ -100,6 +100,12 @@ def test_context_splice_masks_context():
     assert abs(plain["u1"][0][1] - spliced["u1"][0][1]) > 1e-6
     # score magnitude ~ 2 tokens of CE, not 5 (context masked out)
     assert spliced["u1"][0][1] < 3.0 * np.log(V)
+    # conditioning is REAL: a different context changes the score (the LSTM
+    # must process context tokens through the recurrence, step-mask intact)
+    spliced2 = BatchScorer(
+        cfg, params, RescoreConfig(max_hyp_len=16, carry_over=False, splice_len=3)
+    ).score_nbest(nb, W2I, context_map={"u1": "w2 w3 w4"})
+    assert abs(spliced2["u1"][0][1] - spliced["u1"][0][1]) > 1e-6
 
 
 def test_auto_splice_chains_previous_first_hyp():
