@@ -186,10 +186,19 @@ class LSTMSearchCell(nn.Module):
                 w_br = w_br + gaussian.sample_diff(self.make_rng("sample"), self.br_lgstd)
             wx, wh = w_br[:, : self.input_size], w_br[:, self.input_size :]
             br_xg = (x.reshape(T * B, -1) @ wx.T.astype(dtype)).reshape(T, B, 4 * H)
-            drawn = None
+            gp = None
         else:
-            drawn = [b.draw(deterministic) for b in self.branches]
-            br_xg = jnp.zeros((T, B, 4 * H), dtype)
+            # GP branches over cat(x, h): hoist the x-part of each gate's GP
+            # pre-activation (one sample per sequence, like GPLSTMCell)
+            gp = []
+            for b in self.branches:
+                w_, b_, coef = b.draw(deterministic)
+                w_x, w_h = w_[:, : self.input_size], w_[:, self.input_size :]
+                pre_x = (
+                    x.reshape(T * B, -1) @ w_x.T.astype(dtype) + b_.astype(dtype)
+                ).reshape(T, B, H)
+                gp.append((pre_x, w_h, coef, b.act_set))
+            br_xg = jnp.concatenate([g[0] for g in gp], axis=-1)  # (T, B, 4H)
             wh = None
 
         def step(carry, inp):
@@ -200,22 +209,23 @@ class LSTMSearchCell(nn.Module):
             if self.mode == "bayes":
                 br = brx_t + h @ wh.T.astype(dtype)
                 br_g = jnp.split(br, 4, axis=-1)
-            else:
-                inp_cat = jnp.concatenate([inp[0] * 0, h], -1)  # placeholder
-                br_g = None
             acts = (jax.nn.sigmoid, jax.nn.sigmoid, jnp.tanh, jax.nn.sigmoid)
             outs = []
+            brx_g = jnp.split(brx_t, 4, axis=-1)
             for g in range(4):
                 if self.mode == "bayes":
                     pre = gate_w[g, 0] * std_g[g] + gate_w[g, 1] * br_g[g]
                     outs.append(acts[g](pre))
                 else:
-                    w_, b_, coef = drawn[g]
-                    gp = GPNN.apply_drawn(
-                        jnp.concatenate([jnp.zeros_like(h[:, :0]), h], -1) if False else h,
-                        w_[:, self.input_size:], b_, coef, self.branches[g].act_set,
-                    )
-                    outs.append(gate_w[g, 0] * acts[g](std_g[g]) + gate_w[g, 1] * gp)
+                    from ..models.layers import ACTS
+
+                    _, w_h, coef, act_set = gp[g]
+                    pre = brx_g[g] + h @ w_h.T.astype(dtype)
+                    gp_out = None
+                    for ai, act in enumerate(act_set):
+                        term = ACTS[act](pre) * coef[ai].astype(dtype)
+                        gp_out = term if gp_out is None else gp_out + term
+                    outs.append(gate_w[g, 0] * acts[g](std_g[g]) + gate_w[g, 1] * gp_out)
             i, f, gg, o = outs
             c = f * c + i * gg
             h = o * jnp.tanh(c)
