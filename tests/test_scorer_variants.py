@@ -126,3 +126,37 @@ def test_auto_splice_chains_previous_first_hyp():
     # and the context must matter (u2 differs from no-splice scoring)
     plain = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16)).score_nbest(nb, W2I)
     assert abs(plain["u2"][0][1] - auto["u2"][0][1]) > 1e-6
+
+
+def test_fused_ce_scoring_matches_xla_paths(monkeypatch):
+    """Force the fused decode+CE scoring paths (interpret mode) and compare
+    against the default XLA scorer for both carry and bucketed modes."""
+    import bayeslms_tpu.ops.ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    nb = OrderedDict([("m0_u0", ["w1 w2 w3", "w1 w2"]), ("m0_u1", ["w5"]),
+                      ("m1_u0", ["w7 w8"])])
+    sfn = lambda k: k.split("_")[0]
+
+    for model_kind in ("LSTM", "Transformer"):
+        if model_kind == "LSTM":
+            cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8,
+                              dropout=0.0)
+        else:
+            cfg = _tm_cfg()
+        model = build_model(cfg)
+        params = init_params(model, cfg)
+        for carry in (True, False):
+            rcfg = RescoreConfig(carry_over=carry, max_hyp_len=16, batch_size=4)
+            ref = BatchScorer(cfg, params, rcfg).score_nbest(nb, W2I, stream_fn=sfn)
+            fused = BatchScorer(cfg, params, rcfg)
+            fused.use_fused_ce = True
+            got = fused.score_nbest(nb, W2I, stream_fn=sfn)
+            for k in nb:
+                for (h1, s1), (h2, s2) in zip(ref[k], got[k]):
+                    assert h1 == h2
+                    np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=2e-4,
+                                               err_msg=f"{model_kind} carry={carry} {k}")
