@@ -133,7 +133,11 @@ class Trainer:
 
     def _eval_impl(self, params, hidden, data, target, mask):
         """data/target/mask: (n, T, B) stacked eval windows, scanned on
-        device with hidden carry — ONE host round trip per eval pass."""
+        device with hidden carry — ONE host round trip per eval pass.
+
+        (Measured: routing eval through the fused decode+CE kernel gives no
+        win at eval batch sizes while adding ~200 s of compile; the XLA
+        decoder stays. The fused kernel earns its keep in the rescorer.)"""
 
         def body(h, inp):
             d, t, m = inp
@@ -219,7 +223,10 @@ class Trainer:
             d, t = get_batch(rows, i, L)
             cur = d.shape[0]
             data[j, :cur], target[j, :cur], mask[j, :cur] = d, t, 1.0
-        hidden = init_hidden(self.mcfg.nlayers, bsz, self.mcfg.nhid)
+        hidden = init_hidden(
+            self.mcfg.nlayers, bsz, self.mcfg.nhid,
+            dtype=jnp.dtype(self.mcfg.compute_dtype),
+        )
         total = float(
             self._eval_step(
                 params, hidden, jnp.asarray(data), jnp.asarray(target), jnp.asarray(mask)
