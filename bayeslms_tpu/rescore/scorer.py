@@ -93,8 +93,6 @@ class BatchScorer:
             self._mc_step = jax.jit(self._mc_impl)
             if rcfg.carry_over and not cfg.is_transformer:
                 raise ValueError("mc_samples requires carry_over=False")
-        self._tm_step = jax.jit(self._tm_impl)
-        self._rnn_step = jax.jit(self._rnn_impl)
         self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
         self._bucket_step = jax.jit(self._bucket_chunk_impl)
 
