@@ -102,6 +102,30 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], cfg) -> dict:
         # ---- Bayes2LSTM / BayesLSTM means and lgstds (reference names kept)
         elif k.startswith("rnn.") and ("_mean_" in k or "_lgstd_" in k):
             put(f"core/{k[len('rnn.'):]}", v)
+        # ---- GPLSTM / VariationalLSTM stacks (GaussRNNModel model.py:1317-1366,
+        # VariationalRNNModel :2373-2423): per-cell keys under rnn.rnn.<i>.
+        elif re.match(r"rnn\.rnn\.(\d+)\.", k):
+            mm = re.match(r"rnn\.rnn\.(\d+)\.(.*)", k)
+            i, rest = mm.group(1), mm.group(2)
+            if rest == "vnn.hidden_lgstd":
+                put(f"core/l{i}_vnn/hidden_lgstd", v)
+            elif rest == "gpnn.coef.weight":  # GPNN2 read-out Linear
+                put(f"core/cell{i}/gpnn/coef_kernel", v.T)
+            elif rest == "gpnn.coef.bias":
+                put(f"core/cell{i}/gpnn/coef_bias", v)
+            elif rest.startswith("gpnn."):
+                put(f"core/cell{i}/gpnn/{rest[len('gpnn.'):]}", v)
+            elif re.fullmatch(r"(weight|bias)_(ih|hh)_l0", rest):
+                gm = re.fullmatch(r"(weight|bias)_(ih|hh)_l0", rest)
+                kind = "w" if gm.group(1) == "weight" else "b"
+                put(f"core/std{i}/l_{kind}_{gm.group(2)}", v)
+            elif rest in ("weights_ih", "weights_hh", "bias_ih", "bias_hh"):
+                # GP cell params in a Gaussian stack; flat VLSTMCell params
+                # in a Variational one.
+                if getattr(cfg, "uncertainty", None) == "Variational":
+                    put(f"core/l{i}_{rest}", v)
+                else:
+                    put(f"core/cell{i}/{rest}", v)
         # ---- Transformer layers (both torch TransformerEncoder's
         # "transformerlayers.layers.N." and the self-built
         # "transformerlayers.N." prefixes)
@@ -146,6 +170,10 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], cfg) -> dict:
                 "gpnn.bias_lgstd": (f"{base}/gpnn/bias_lgstd", False),
                 "gpnn.coef_mean": (f"{base}/gpnn/coef_mean", False),
                 "gpnn.coef_lgstd": (f"{base}/gpnn/coef_lgstd", False),
+                "gpnn.frequency_mean": (f"{base}/gpnn/frequency_mean", False),
+                "gpnn.frequency_lgstd": (f"{base}/gpnn/frequency_lgstd", False),
+                "gpnn.coef.weight": (f"{base}/gpnn/coef_kernel", True),
+                "gpnn.coef.bias": (f"{base}/gpnn/coef_bias", False),
                 "hiddens_mean": (f"{base}/hiddens_mean", False),
                 "hiddens_lgstd": (f"{base}/hiddens_lgstd", False),
                 "hiddens_mean_p": (f"{base}/hiddens_mean_p", False),

@@ -1,0 +1,309 @@
+"""Golden parity against the REFERENCE's own stochastic torch classes.
+
+Imports /root/reference/steps/pytorchnn/model.py directly (torch CPU),
+instantiates every stochastic container the recipes can build, maps its
+state_dict into this framework via import_torch_state_dict, and asserts
+
+  1. eval-mode logit parity (eval = posterior mean, deterministic in both
+     frameworks), and
+  2. kl_divergence() VALUE parity, replicating the exact train.py:335-399
+     dispatch per uncertainty/position.
+
+This converts the "quirk-faithful" docstring claims into checked facts for
+all 4x2 uncertainty/model configs (VERDICT round-1, missing item #1).
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from bayeslms_tpu import ModelConfig, build_model, init_params
+from bayeslms_tpu.core.checkpoint import import_torch_state_dict, partial_update
+from bayeslms_tpu.core.registry import sum_losses
+from bayeslms_tpu.models.lstm_lm import init_hidden
+
+REF_DIR = "/root/reference/steps/pytorchnn"
+
+V, T, B = 30, 9, 2
+E = H = 12  # reference len-3/len-4 GP-LSTM stacks require emsize == nhid
+FF, HEADS = 24, 2
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location(
+        "ref_model", os.path.join(REF_DIR, "model.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_model"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _import_params(tm, cfg, model):
+    params = init_params(model, cfg, seq_len=T, batch=B)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    imported = import_torch_state_dict(sd, cfg)
+    params, updated = partial_update(params, imported)
+    return params, updated, sd
+
+
+def _our_logits_rnn(model, cfg, params, toks):
+    logits, _ = model.apply(
+        {"params": params}, jnp.asarray(toks), init_hidden(2, B, cfg.nhid),
+        deterministic=True,
+    )
+    return np.asarray(logits)
+
+
+def _our_kl(model, params, args, deterministic=True):
+    rngs = {"sample": jax.random.key(7), "dropout": jax.random.key(8)}
+    _, var = model.apply(
+        {"params": params}, *args, deterministic=deterministic,
+        mutable=("losses",), rngs=rngs,
+    )
+    return float(sum_losses(var.get("losses", {})))
+
+
+# --------------------------------------------------------------- RNN family
+
+@pytest.mark.parametrize("pos", [1, 2, 3, 4, 5])
+def test_bayes_rnn_golden(ref, pos):
+    torch.manual_seed(10 + pos)
+    tm = ref.BayesRNNModel("LSTM", V, E, H, 2, dropout=0.0, tie_weights=True,
+                           bayes_pos=pos).eval()
+    toks = torch.randint(0, V, (T, B))
+    with torch.no_grad():
+        out, _ = tm(toks, tm.init_hidden(B))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Bayesian", l_bayes_pos=pos)
+    model = build_model(cfg)
+    params, updated, _ = _import_params(tm, cfg, model)
+    assert len(updated) >= 10, updated
+
+    ours = _our_logits_rnn(model, cfg, params, toks.numpy())
+    np.testing.assert_allclose(ours, out.numpy().reshape(T, B, V),
+                               rtol=1e-4, atol=1e-5)
+
+    ref_kl = float(tm.rnn.kl_divergence())
+    np.testing.assert_allclose(
+        _our_kl(model, params, (jnp.asarray(toks.numpy()), init_hidden(2, B, H))),
+        ref_kl, rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize(
+    "gp", ["10", "13", "21", "32", "43", "52", "63", "73", "14", "633", "6360"]
+)
+def test_gauss_rnn_golden(ref, gp):
+    torch.manual_seed(hash(gp) % 1000)
+    tm = ref.GaussRNNModel("LSTM", V, E, H, 2, dropout=0.0, tie_weights=True,
+                           gauss_pos=gp).eval()
+    toks = torch.randint(0, V, (T, B))
+    h0 = torch.zeros(2, B, H)
+    with torch.no_grad():
+        out, _ = tm(toks, (h0, h0))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Gaussian", l_gauss_pos=gp)
+    model = build_model(cfg)
+    params, updated, sd = _import_params(tm, cfg, model)
+    assert len(updated) >= len(sd) - 2, updated  # tied decoder.weight skipped
+
+    ours = _our_logits_rnn(model, cfg, params, toks.numpy())
+    np.testing.assert_allclose(ours, out.numpy().reshape(T, B, V),
+                               rtol=2e-4, atol=1e-5)
+
+    # KL dispatch train.py:366-376
+    ref_kl = 0.0
+    if int(gp[0]) > 0 and 0 < int(gp[1]) <= 3:
+        if len(gp) < 3:
+            ref_kl = float(tm.rnn.rnn[0].gpnn.kl_divergence())
+        elif len(gp) == 3:
+            ref_kl = float(tm.rnn.rnn[1].gpnn.kl_divergence())
+        else:
+            ref_kl = float(tm.rnn.rnn[0].gpnn.kl_divergence()) + float(
+                tm.rnn.rnn[1].gpnn.kl_divergence()
+            )
+    np.testing.assert_allclose(
+        _our_kl(model, params, (jnp.asarray(toks.numpy()), init_hidden(2, B, H))),
+        ref_kl, rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("vp", ["00", "10", "01", "11"])
+def test_variational_rnn_golden(ref, vp):
+    torch.manual_seed(int(vp))
+    tm = ref.VariationalRNNModel("LSTM", V, E, H, 2, dropout=0.0,
+                                 tie_weights=True, v_pos=vp).eval()
+    toks = torch.randint(0, V, (T, B))
+    h0 = torch.zeros(2, B, H)
+    with torch.no_grad():
+        out, _ = tm(toks, (h0, h0))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Variational", l_v_pos=vp)
+    model = build_model(cfg)
+    params, updated, sd = _import_params(tm, cfg, model)
+    # tied decoder.weight is skipped; our VNN params exist only for layers
+    # whose v_pos digit is 1 (flax creates params on use)
+    n_unused_vnn = vp.count("0")
+    assert len(updated) >= len(sd) - 1 - n_unused_vnn, updated
+
+    ours = _our_logits_rnn(model, cfg, params, toks.numpy())
+    np.testing.assert_allclose(ours, out.numpy().reshape(T, B, V),
+                               rtol=2e-4, atol=1e-5)
+
+    # KL dispatch train.py:377-385 — reference VNN.kl_divergence reads the
+    # hidden stored by the forward above.
+    ref_kl = 0.0
+    if int(vp[0]) == 1:
+        ref_kl += float(tm.rnn.rnn[0].vnn.kl_divergence())
+    if int(vp[1]) == 1:
+        ref_kl += float(tm.rnn.rnn[1].vnn.kl_divergence())
+    np.testing.assert_allclose(
+        _our_kl(model, params, (jnp.asarray(toks.numpy()), init_hidden(2, B, H))),
+        ref_kl, rtol=1e-5, atol=1e-7,
+    )
+
+
+# ------------------------------------------------------- Transformer family
+
+@pytest.mark.parametrize("pos", ["FFN", "MHA", "EMB", "none"])
+def test_bayes_transformer_golden(ref, pos):
+    torch.manual_seed(len(pos))
+    tm = ref.BayesTransformerModel(V, E, HEADS, FF, 2, dropout=0.0,
+                                   tie_weights=True, bayes_pos=pos).eval()
+    toks = torch.randint(0, V, (T, B))
+    with torch.no_grad():
+        out = tm(toks)
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=2, nhead=HEADS, dropout=0.0,
+                      uncertainty="Bayesian", t_bayes_pos=pos)
+    model = build_model(cfg)
+    params, updated, sd = _import_params(tm, cfg, model)
+    assert len(updated) >= len(sd) - 2, updated  # pos_encoder.pe is a buffer
+
+    ours = model.apply({"params": params}, jnp.asarray(toks.numpy()),
+                       deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), out.numpy(), rtol=2e-4, atol=2e-4)
+
+    # KL dispatch train.py:340-356
+    if pos == "FFN":
+        ref_kl = float(tm.transformerlayers[0].linear2.kl_divergence())
+    elif pos == "MHA":
+        ref_kl = float(tm.transformerlayers[0].self_attn.o_net.kl_divergence())
+    elif pos == "EMB":
+        ref_kl = float(tm.embed_kl_divergence())
+    else:
+        ref_kl = 0.0
+    np.testing.assert_allclose(
+        _our_kl(model, params, (jnp.asarray(toks.numpy()),)),
+        ref_kl, rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("gp", [0, 1, 2, 3, 4])
+def test_gauss_transformer_golden(ref, gp):
+    torch.manual_seed(20 + gp)
+    tm = ref.GaussTransformerModel(V, E, HEADS, FF, 2, dropout=0.0,
+                                   tie_weights=True, gauss_pos=gp).eval()
+    toks = torch.randint(0, V, (T, B))
+    with torch.no_grad():
+        out = tm(toks)
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=2, nhead=HEADS, dropout=0.0,
+                      uncertainty="Gaussian", t_gauss_pos=gp)
+    model = build_model(cfg)
+    params, updated, sd = _import_params(tm, cfg, model)
+    # unmapped by design: pos_encoder.pe buffer, tied decoder.weight, and the
+    # reference layer's UNUSED linear1 (its forward routes through gpnn
+    # instead, model.py:2283) which our layer doesn't create
+    assert len(updated) >= len(sd) - 4, updated
+
+    ours = model.apply({"params": params}, jnp.asarray(toks.numpy()),
+                       deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), out.numpy(), rtol=2e-4, atol=2e-4)
+
+    # KL dispatch train.py:359-365: only 1 <= pos <= 3
+    ref_kl = (
+        float(tm.transformerlayers[0].gpnn.kl_divergence()) if 1 <= gp <= 3 else 0.0
+    )
+    np.testing.assert_allclose(
+        _our_kl(model, params, (jnp.asarray(toks.numpy()),)),
+        ref_kl, rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("vp", [0, 1, 2, 3])
+def test_variational_transformer_golden(ref, vp):
+    N = 4
+    torch.manual_seed(30 + vp)
+    tm = ref.VTransformerModel(V, E, HEADS, FF, N, dropout=0.0,
+                               tie_weights=True, v_pos=vp).eval()
+    toks = torch.randint(0, V, (T, B))
+    with torch.no_grad():
+        out = tm(toks)
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=N, nhead=HEADS, dropout=0.0,
+                      uncertainty="Variational", t_v_pos=vp)
+    model = build_model(cfg)
+    params, updated, sd = _import_params(tm, cfg, model)
+    assert len(updated) >= len(sd) - 2, updated
+
+    # layer-count off-by-one parity: same number of encoder layers
+    n_ref_layers = len(tm.transformerlayers)
+    n_our_layers = len({k.split("/")[0] for k in
+                        ("/".join(p) for p in _flat_paths(params))
+                        if k.startswith("layers_")})
+    assert n_our_layers == n_ref_layers
+
+    ours = model.apply({"params": params}, jnp.asarray(toks.numpy()),
+                       deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), out.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def _flat_paths(params):
+    from flax.traverse_util import flatten_dict
+
+    return list(flatten_dict(params).keys())
+
+
+@pytest.mark.parametrize("vp", [1, 2, 3])
+def test_variational_transformer_kl_golden(ref, vp):
+    """KL gated on training & seq_len==100 (model.py:2770-2781). The
+    reference's training-mode FORWARD at T=100 crashes on the latent
+    `self.hiddens` bug (model.py:2796), so the reference value is produced by
+    an eval forward (stores self.hidden) + kl_divergence() in train mode —
+    KL reads only the pre-noise hidden, identical in both modes."""
+    N, T100 = 4, 100
+    torch.manual_seed(40 + vp)
+    tm = ref.VTransformerModel(V, E, HEADS, FF, N, dropout=0.0,
+                               tie_weights=True, v_pos=vp).eval()
+    toks = torch.randint(0, V, (T100, B))
+    with torch.no_grad():
+        tm(toks)  # stores self.hidden on each V layer
+    tm.train()
+    ref_kl = 0.0
+    idxs = {1: (0,), 2: (1,), 3: (0, 1)}[vp]
+    for i in idxs:
+        ref_kl += float(tm.transformerlayers[i].kl_divergence())
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=N, nhead=HEADS, dropout=0.0,
+                      uncertainty="Variational", t_v_pos=vp)
+    model = build_model(cfg)
+    params, _, _ = _import_params(tm, cfg, model)
+    ours = _our_kl(model, params, (jnp.asarray(toks.numpy()),),
+                   deterministic=False)
+    np.testing.assert_allclose(ours, ref_kl, rtol=1e-4, atol=1e-7)
