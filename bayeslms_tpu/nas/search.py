@@ -34,7 +34,8 @@ class SearchResult:
 
 class SearchRunner:
     def __init__(self, cfg: ModelConfig, tcfg: TrainConfig, mode: str = "bayes",
-                 unrolled: bool = False, arch_lr: float = 3e-4):
+                 unrolled: bool = False, arch_lr: float = 3e-3,
+                 network_weight_decay: float = 5e-7):
         self.cfg = cfg
         self.tcfg = tcfg
         self.model = build_supernet(cfg, mode)
@@ -61,7 +62,8 @@ class SearchRunner:
 
         self.loss_fn = loss_fn
         self.architect = Architect(
-            loss_fn, arch_lr=arch_lr, w_lr=tcfg.lr, unrolled=unrolled
+            loss_fn, arch_lr=arch_lr, w_lr=tcfg.lr, unrolled=unrolled,
+            network_weight_decay=network_weight_decay, network_clip=tcfg.clip,
         )
         self._w_step = jax.jit(self._weight_step)
 
