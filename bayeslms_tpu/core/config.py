@@ -107,6 +107,13 @@ class TrainConfig:
     # Prior / finetune-from-prior workflow (train.py:239-265).
     prior: bool = False
     prior_path: Optional[str] = None
+    # Prior-mean KL regularization: regularize posterior means toward the
+    # loaded prior checkpoint instead of N(0, I). The reference implements
+    # this branch in kl_divergence(prior) (model.py:520-528 sum-reduced
+    # weight-only for Bayes(2)LSTM; :1120-1122 mean-reduced for BayesLinear)
+    # but never reaches it from its shipped call sites; here it is a config
+    # switch (README step-3 finetune-with-prior semantics).
+    prior_kl: bool = False
     save: str = "model.ckpt"
     # Full-state resume (params + momentum + schedule). The reference's
     # --resume flag existed but was wired out (train.py:92-93, :108-118).

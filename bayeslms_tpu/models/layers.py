@@ -98,7 +98,13 @@ class BayesDense(nn.Module):
         return y
 
     def kl(self, prior_mean: Optional[jax.Array] = None):
-        """Closed-form KL (model.py:1110-1123): mean-reduced, no -1 term."""
+        """Closed-form KL (model.py:1110-1123): mean-reduced, no -1 term.
+
+        With a prior mean — explicit or via the "priors" collection (the
+        TrainConfig.prior_kl switch) — the prior branch (model.py:1120-1122)
+        applies: mean-reduced weight-only KL vs the prior means."""
+        if prior_mean is None and self.has_variable("priors", "weight_mean"):
+            prior_mean = self.get_variable("priors", "weight_mean")
         if prior_mean is None:
             kl = gaussian.kl_std_normal(self.weight_mean, self.weight_lgstd)
             if self.use_bias:

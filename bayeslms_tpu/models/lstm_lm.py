@@ -183,16 +183,46 @@ class BayesLSTMCore(nn.Module):
             hs.append(hT)
             cs.append(cT)
 
-        self.sow("losses", "kl", self.kl_value(means, lgstds))
+        prior_w = None
+        if self.has_variable("priors", "weight_hh_mean_1") and self.has_variable(
+            "priors", "weight_ih_mean_1"
+        ):
+            prior_w = (
+                self.get_variable("priors", "weight_hh_mean_1"),
+                self.get_variable("priors", "weight_ih_mean_1"),
+            )
+        self.sow("losses", "kl", self.kl_value(means, lgstds, prior_w))
         return out, (jnp.stack(hs), jnp.stack(cs))
 
-    def kl_value(self, means, lgstds):
+    def kl_value(self, means, lgstds, prior_w=None):
         """KL dispatch of Bayes(2)LSTM.kl_divergence (model.py:492-529,
-        :737-781): mean-reduced closed form vs N(0,1), layer-1 slice only."""
+        :737-781): mean-reduced closed form vs N(0,1), layer-1 slice only.
+
+        With ``prior_w = (prior_w_hh_1, prior_w_ih_1)`` the prior branch
+        (model.py:520-528, :767-775) applies instead: SUM-reduced weight-only
+        KL of the layer-1 slice against the prior means (the reference's
+        README step-3 finetune-with-prior semantics)."""
         cfg = self.cfg
         H, pos = cfg.nhid, cfg.l_bayes_pos
         if not 1 <= pos <= 5:
             return jnp.asarray(0.0)
+        if prior_w is not None:
+            m1, lp = means[0], lgstds[1]
+            p_hh, p_ih = prior_w
+            if 1 <= pos <= 4:
+                rows = slice((pos - 1) * H, pos * H)
+                w_mean = jnp.concatenate([m1["w_hh"][rows], m1["w_ih"][rows]], -1)
+                w_lgstd = jnp.concatenate([lp["w_hh"], lp["w_ih"]], -1)
+                prior = jnp.concatenate([p_hh[rows], p_ih[rows]], -1)
+            else:  # pos == 5 (quirks as in the zero-prior branch)
+                w_mean = jnp.concatenate([m1["w_hh"], m1["w_ih"]], -1)
+                w_lgstd = jnp.concatenate([lp["w_hh"], lp["w_ih"]], -1)
+                if self.both_layers and 2 in lgstds:
+                    m2, lp2 = means[1], lgstds[2]
+                    w_mean = w_mean + jnp.concatenate([m2["w_hh"], m1["w_ih"]], -1)
+                    w_lgstd = w_lgstd + jnp.concatenate([lp2["w_hh"], lp["w_ih"]], -1)
+                prior = jnp.concatenate([p_hh, p_ih], -1)
+            return gaussian.kl_vs_prior_sum(w_mean, w_lgstd, prior)
         m1, lp = means[0], lgstds[1]
         if 1 <= pos <= 4:
             rows = slice((pos - 1) * H, pos * H)

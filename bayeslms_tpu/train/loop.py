@@ -80,6 +80,10 @@ class Trainer:
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_impl)
         self._shard_ready = False
+        # Prior-mean KL (TrainConfig.prior_kl): prior param tree passed to
+        # apply as the "priors" collection; Bayes modules read their own
+        # scope's mean leaves. Populated by init_state.
+        self.priors: dict = {}
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: Optional[int] = None) -> TrainerState:
@@ -92,6 +96,8 @@ class Trainer:
             prior_params, _ = load_checkpoint(self.tcfg.prior_path)
             params, updated = partial_update(params, prior_params)
             print(f"prior init: updated {len(updated)} param tensors")
+            if self.tcfg.prior_kl:
+                self.priors = jax.tree.map(jnp.asarray, prior_params)
         return TrainerState(
             params=params,
             opt_state=init_opt_state(params),
@@ -103,14 +109,17 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
     def _apply_train(self, params, data, hidden, rngs):
+        variables = {"params": params}
+        if self.priors:
+            variables["priors"] = self.priors
         if self.is_tm:
             logits, var = self.model.apply(
-                {"params": params}, data, deterministic=False, rngs=rngs,
+                variables, data, deterministic=False, rngs=rngs,
                 mutable=["losses"],
             )
             return logits, hidden, var
         (logits, hidden), var = self.model.apply(
-            {"params": params}, data, hidden, deterministic=False, rngs=rngs,
+            variables, data, hidden, deterministic=False, rngs=rngs,
             mutable=["losses"],
         )
         return logits, hidden, var

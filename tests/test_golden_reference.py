@@ -307,3 +307,64 @@ def test_variational_transformer_kl_golden(ref, vp):
     ours = _our_kl(model, params, (jnp.asarray(toks.numpy()),),
                    deterministic=False)
     np.testing.assert_allclose(ours, ref_kl, rtol=1e-4, atol=1e-7)
+
+
+# ------------------------------------------------------ prior-mean KL branch
+
+@pytest.mark.parametrize("pos", [3, 5])
+def test_bayes_lstm_prior_kl_golden(ref, pos):
+    """kl_divergence(prior) branch of Bayes2LSTM (model.py:767-775):
+    sum-reduced weight-only KL of the layer-1 slice vs the prior means."""
+    torch.manual_seed(50 + pos)
+    tm = ref.BayesRNNModel("LSTM", V, E, H, 2, dropout=0.0, tie_weights=True,
+                           bayes_pos=pos).eval()
+    rng = np.random.default_rng(pos)
+    p_hh = rng.normal(size=(4 * H, H)).astype(np.float32)
+    p_ih = rng.normal(size=(4 * H, E)).astype(np.float32)
+    prior = {
+        "rnns.weight_hh_mean": torch.tensor(p_hh),
+        "rnns.weight_ih_mean": torch.tensor(p_ih),
+        "weight.theta_ih_mean": torch.tensor(p_ih),  # pos-5 key quirk
+    }
+    ref_kl = float(tm.rnn.kl_divergence(prior))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Bayesian", l_bayes_pos=pos)
+    model = build_model(cfg)
+    params, _, _ = _import_params(tm, cfg, model)
+    priors = {"core": {"weight_hh_mean_1": jnp.asarray(p_hh),
+                       "weight_ih_mean_1": jnp.asarray(p_ih)}}
+    _, var = model.apply(
+        {"params": params, "priors": priors},
+        jnp.zeros((T, B), jnp.int32), init_hidden(2, B, H),
+        deterministic=True, mutable=("losses",),
+    )
+    ours = float(sum_losses(var["losses"]))
+    np.testing.assert_allclose(ours, ref_kl, rtol=1e-5)
+
+
+def test_bayes_dense_prior_kl_golden(ref):
+    """BayesLinear kl_divergence(prior) (model.py:1120-1122): mean-reduced
+    weight-only KL vs the prior mean. The reference branch hard-calls
+    .cuda(), so the expected value is hand-computed with the same formula."""
+    torch.manual_seed(60)
+    tm = ref.BayesTransformerModel(V, E, HEADS, FF, 2, dropout=0.0,
+                                   tie_weights=True, bayes_pos="FFN").eval()
+    wm = tm.transformerlayers[0].linear2.weight_mean.detach().numpy()
+    wl = tm.transformerlayers[0].linear2.weight_lgstd.detach().numpy()
+    rng = np.random.default_rng(0)
+    pm = rng.normal(size=wm.shape).astype(np.float32)
+    expected = float(np.mean((wm - pm) ** 2 - 2 * wl + np.exp(2 * wl)) / 2)
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=2, nhead=HEADS, dropout=0.0,
+                      uncertainty="Bayesian", t_bayes_pos="FFN")
+    model = build_model(cfg)
+    params, _, _ = _import_params(tm, cfg, model)
+    priors = {"layers_0": {"linear2": {"weight_mean": jnp.asarray(pm)}}}
+    _, var = model.apply(
+        {"params": params, "priors": priors}, jnp.zeros((T, B), jnp.int32),
+        deterministic=True, mutable=("losses",),
+    )
+    ours = float(sum_losses(var["losses"]))
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)

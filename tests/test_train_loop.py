@@ -128,3 +128,41 @@ def test_resume_continues_schedule(tmp_path):
     # continued run covers epochs 3..4 only
     assert [h["epoch"] for h in out2["history"]] == [3, 4]
     assert out2["history"][-1]["val_loss"] <= out1["history"][-1]["val_loss"] + 0.05
+
+
+def test_prior_kl_pulls_means_toward_prior(tmp_path):
+    """TrainConfig.prior_kl: finetuning regularizes the Bayesian gate-slice
+    means toward the loaded prior (reference model.py:767-775 semantics)
+    instead of N(0, I). After the same number of steps, the prior-KL run's
+    means must stay closer to the prior than the plain run's."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=10, nhid=10,
+                      dropout=0.0, uncertainty="Bayesian", l_bayes_pos=2)
+    corpus = TinyCorpus()
+
+    # make a prior checkpoint: fresh init of the SAME structure
+    prior_trainer = Trainer(cfg, TrainConfig(batch_size=4, seq_len=10))
+    prior_params = prior_trainer.init_state(seed=99).params
+    prior_path = str(tmp_path / "prior.ckpt")
+    save_checkpoint(prior_path, prior_params)
+
+    def drift(prior_kl):
+        tcfg = TrainConfig(
+            lr=2.0, batch_size=4, eval_batch_size=4, epochs=1, seq_len=10,
+            log_interval=10**9, save=str(tmp_path / f"m{prior_kl}.ckpt"),
+            prior=True, prior_path=prior_path, prior_kl=prior_kl,
+        )
+        trainer = Trainer(cfg, tcfg)
+        state, _ = trainer.fit(corpus, log=lambda *a: None)
+        f = flatten_dict(jax.device_get(state.params))
+        fp = flatten_dict(jax.device_get(prior_params))
+        keys = [k for k in f if "weight_ih_mean_1" in "/".join(k)
+                or "weight_hh_mean_1" in "/".join(k)]
+        assert keys
+        return sum(float(jnp.sum((jnp.asarray(f[k]) - jnp.asarray(fp[k])) ** 2))
+                   for k in keys)
+
+    assert drift(True) < drift(False)
