@@ -96,7 +96,24 @@ def cmd_score(args) -> int:
         params2, _ = load_checkpoint(args.inter_path)
     scorer = BatchScorer(cfg, params, rcfg, cfg2, params2)
     nbest = load_nbest(args.nbest_list)
-    write_scores(scorer.score_nbest(nbest, vocab.word2idx), args.outfile)
+    context_map = None
+    if args.context_file:
+        # seg_wise context from a previous-decode file (dev scorer
+        # `…copy.py`:101-120). Two formats: per-utterance "utt text…" lines
+        # (every first field must be an n-best key), or a single global
+        # context line applied to every utterance (the reference's format).
+        with open(args.context_file, "r", encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+        per_utt = {}
+        for ln in lines:
+            head, _, rest = ln.partition(" ")
+            per_utt[head] = rest
+        if lines and all(k in nbest for k in per_utt):
+            context_map = {k: per_utt.get(k, "") for k in nbest}
+        else:
+            context_map = {k: (lines[0] if lines else "") for k in nbest}
+    write_scores(scorer.score_nbest(nbest, vocab.word2idx,
+                                    context_map=context_map), args.outfile)
     print(f"wrote {args.outfile}")
     return 0
 
@@ -197,6 +214,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backward-LM scoring (reverse word order)")
     s.add_argument("--splice-len", type=int, default=0,
                    help="context-splice length (dev scorer --seg_wise)")
+    s.add_argument("--context-file", default=None,
+                   help="previous-decode context text: per-utterance "
+                        "'utt text…' lines or one global line "
+                        "(dev scorer seg_wise file, copy.py:101-120)")
     s.set_defaults(fn=cmd_score)
 
     r = sub.add_parser("rescore", help="full lattice rescoring pipeline")

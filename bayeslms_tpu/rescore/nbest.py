@@ -89,12 +89,20 @@ def pad_batch(
 
 
 def length_buckets(max_len: int, n_buckets: int = 5) -> List[int]:
-    """Power-of-two-ish bucket boundaries up to max_len (jit cache keys)."""
-    out, b = [], 16
-    while b < max_len:
-        out.append(b)
-        b *= 2
-    out.append(max_len)
+    """Up to ``n_buckets`` geometrically spaced bucket boundaries from 16 to
+    ``max_len``, rounded up to multiples of 8 (TPU sublane alignment). Each
+    boundary is a jit cache key, so more buckets = less padding but more
+    compiles."""
+    if max_len <= 16:
+        return [max_len]
+    out = []
+    for i in range(n_buckets):
+        b = 16.0 * (max_len / 16.0) ** (i / (n_buckets - 1))
+        b = min(int(-(-b // 8) * 8), max_len)  # round up to multiple of 8
+        if not out or b > out[-1]:
+            out.append(b)
+    if out[-1] != max_len:
+        out.append(max_len)
     return out
 
 

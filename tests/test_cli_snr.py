@@ -70,3 +70,42 @@ def test_snr_report_gate_slice():
     assert key in rep
     assert rep[key]["shape"] == [8, 8]  # (H, H) slice lgstd
     assert rep[key]["median_snr"] > 0
+
+
+def test_cli_score_context_file(corpus_dir):
+    """--context-file: global single-line and per-utterance formats both
+    reach the scorer (context changes the scores when splice_len > 0)."""
+    save = str(corpus_dir / "m2.ckpt")
+    rc = main([
+        "train", "--data", str(corpus_dir), "--model", "LSTM",
+        "--emsize", "8", "--nhid", "8", "--epochs", "1", "--seq_len", "8",
+        "--batch-size", "4", "--eval-batch-size", "4", "--lr", "1.0",
+        "--save", save,
+    ])
+    assert rc == 0
+
+    nbest = corpus_dir / "nb2.txt"
+    nbest.write_text("u1-1 w0 w3\nu2-1 w0 w5\n")
+
+    def scores_of(extra):
+        out = corpus_dir / "s.txt"
+        rc = main([
+            "score", "--nbest-list", str(nbest), "--vocabulary",
+            str(corpus_dir / "words.txt"), "--model-path", save,
+            "--outfile", str(out), "--model", "LSTM",
+            "--emsize", "8", "--nhid", "8", "--no-carry-over",
+        ] + extra)
+        assert rc == 0
+        return dict(l.split() for l in out.read_text().splitlines())
+
+    base = scores_of([])
+    glob_ctx = corpus_dir / "ctx_global.txt"
+    glob_ctx.write_text("w1 w2 w3 w4\n")
+    g = scores_of(["--context-file", str(glob_ctx), "--splice-len", "3"])
+    per_ctx = corpus_dir / "ctx_per.txt"
+    per_ctx.write_text("u1 w1 w2\nu2 w9 w9\n")
+    p = scores_of(["--context-file", str(per_ctx), "--splice-len", "2"])
+
+    assert base != g  # context conditioning changed the scores
+    assert g != p
+    assert set(base) == set(g) == set(p) == {"u1-1", "u2-1"}

@@ -170,3 +170,43 @@ def test_native_tokenizer_matches_python(tmp_path):
     assert c_native._native is not None, "native tokenizer should have loaded"
     np.testing.assert_array_equal(c_native.train, c_python.train)
     np.testing.assert_array_equal(c_native.valid, c_python.valid)
+
+
+ARPA_UNK_CTX = """\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-0.5\t<s>\t-0.30103
+-0.60206\ta\t-0.30103
+-0.69897\tb\t0.0
+-1.0\t</s>
+-2.0\t<unk>\t-0.1
+
+\\2-grams:
+-0.30103\t<s> a
+-0.15490\ta b
+-0.25\t<unk> b
+
+\\end\\
+"""
+
+
+def test_arpa_oov_in_context_maps_to_unk(tmp_path):
+    """An OOV word must enter the CONTEXT as <unk> (like Kaldi's
+    G-composition), so a following word can hit its '<unk> w' bigram instead
+    of silently backing off to unigram."""
+    lm = tmp_path / "lm.arpa"
+    lm.write_text(ARPA_UNK_CTX)
+    hyps = tmp_path / "hyps.txt"
+    hyps.write_text("u-1 zzz b\n")
+    out = tmp_path / "scores.txt"
+    subprocess.run([tool("arpa_score"), str(lm), str(hyps), str(out)],
+                   check=True, capture_output=True)
+    scores = dict(l.split() for l in out.read_text().splitlines())
+    # P(<unk>|<s>) = backoff(<s>) + P(<unk>) = -0.30103 - 2.0
+    # P(b|<unk>)   = -0.25            (the '<unk> b' bigram MUST be hit)
+    # P(</s>|b)    = backoff(b)=0 + P(</s>) = -1.0
+    log10p = (-0.30103 - 2.0) + (-0.25) + (-1.0)
+    np.testing.assert_allclose(float(scores["u-1"]), -log10p * math.log(10),
+                               rtol=1e-4)

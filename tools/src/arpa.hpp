@@ -29,12 +29,18 @@ class ArpaLM {
 
   int order() const { return order_; }
 
-  // -ln P(sentence) with <s> … </s> framing; OOVs hit <unk> when present.
+  // -ln P(sentence) with <s> … </s> framing; OOVs hit <unk> when present —
+  // both as the predicted word AND inside the context vector (Kaldi's
+  // G-composition sees <unk>-mapped symbols in the history too; keeping the
+  // raw word would silently back off to unigram for every context that
+  // contains an OOV).
   double sentence_cost(const std::vector<std::string>& words) const {
+    const bool has_unk = known(unk_);
     std::vector<std::string> ctx = {bos_};
     double log10_total = 0.0;
     for (size_t i = 0; i <= words.size(); ++i) {
-      const std::string& w = (i < words.size()) ? words[i] : eos_;
+      const std::string& raw = (i < words.size()) ? words[i] : eos_;
+      const std::string& w = (has_unk && !known(raw)) ? unk_ : raw;
       log10_total += word_logp(ctx, w);
       ctx.push_back(w);
       if ((int)ctx.size() >= order_) ctx.erase(ctx.begin());
