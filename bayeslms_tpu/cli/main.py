@@ -87,8 +87,9 @@ def cmd_score(args) -> int:
     rcfg = RescoreConfig(
         carry_over=not args.no_carry_over, inter_flag=args.interpolation_flag,
         inter_alpha=args.inter_alpha, max_hyp_len=args.max_hyp_len,
-        mc_samples=args.mc_samples, backward=args.backward,
-        splice_len=args.splice_len,
+        mc_samples=args.mc_samples,
+        backward=args.backward or args.model_var == "back",
+        splice_len=args.splice_len, xl_mems=args.model_var == "XL",
     )
     params2 = cfg2 = None
     if args.interpolation_flag:
@@ -214,6 +215,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backward-LM scoring (reverse word order)")
     s.add_argument("--splice-len", type=int, default=0,
                    help="context-splice length (dev scorer --seg_wise)")
+    s.add_argument("--model_var", default="none", choices=["none", "back", "XL"],
+                   help="dev-scorer variants: back = backward LM, XL = "
+                        "Transformer-XL cross-utterance memory")
     s.add_argument("--context-file", default=None,
                    help="previous-decode context text: per-utterance "
                         "'utt text…' lines or one global line "

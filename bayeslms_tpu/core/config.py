@@ -158,6 +158,12 @@ class RescoreConfig:
     # caller-provided context map) before each hypothesis; context positions
     # are masked out of the score.
     splice_len: int = 0
+    # Transformer-XL cross-utterance memory (dev scorer `--model_var XL`,
+    # copy.py:206-217): condition each utterance on segment memories built
+    # from the previous utterance's first hypothesis, with exact position
+    # offsets (== full-context scoring of [prev; hyp], tests/test_xl_mems.py).
+    # Requires a Transformer whose encoder layers are all standard.
+    xl_mems: bool = False
 
 
 def to_json(cfg) -> str:

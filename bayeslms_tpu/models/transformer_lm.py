@@ -349,25 +349,43 @@ class TransformerLM(nn.Module):
             self.embed_lgstd = self.param("embed_lgstd", gaussian.lgstd_init(stde), (E, E))
 
     def __call__(self, tokens, deterministic: bool = True, mems=None,
-                 return_mems: bool = False, return_hidden: bool = False):
+                 mem_len=None, return_mems: bool = False,
+                 return_hidden: bool = False):
         """tokens: (T, B) int32 -> logits (T, B, V).
 
         ``mems``: optional per-layer list of (M, B, E) segment memories
         (Transformer-XL-style cross-utterance context, the dev scorer's
         `--model_var XL` capability, `…copy.py`:206-217). Queries attend
-        causally over [mem; x]. ``return_mems`` additionally returns the new
-        per-layer memories (this segment's layer inputs) for the next call.
+        causally over [mem; x], and this segment's positions CONTINUE from
+        the real memory length, so with mems built from a standalone pass
+        over the previous tokens the output equals the suffix of a
+        full-context forward exactly (tests/test_xl_mems.py).
+
+        ``mem_len``: int32 scalar — memories may be RIGHT-padded to a
+        bucketed length; only rows [0, mem_len) are real, the rest are
+        masked out of attention and excluded from the position offset.
+        ``return_mems`` additionally returns the new per-layer memories
+        (this segment's layer inputs) for the next call.
         """
         cfg = self.cfg
         T = tokens.shape[0]
         dtype = jnp.dtype(cfg.compute_dtype)
         if mems is not None:
             M = mems[0].shape[0]
+            ml = (
+                jnp.asarray(M, jnp.int32)
+                if mem_len is None
+                else jnp.asarray(mem_len, jnp.int32)
+            )
             rows = jnp.arange(T)[:, None]
             cols = jnp.arange(M + T)[None, :]
-            mask = jnp.where(cols <= rows + M, 0.0, -jnp.inf).astype(jnp.float32)
+            mask = jnp.where(
+                (cols < ml) | ((cols >= M) & (cols <= rows + M)), 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            pos_offset = ml  # number of REAL memory tokens
         else:
             mask = causal_mask(T)
+            pos_offset = None
 
         x = jnp.take(self.embedding, tokens, axis=0).astype(dtype) * math.sqrt(cfg.emsize)
 
@@ -378,7 +396,11 @@ class TransformerLM(nn.Module):
                 w = w + gaussian.sample_diff(self.make_rng("sample"), self.embed_lgstd)
             x = x @ w.T.astype(dtype)
 
-        x = x + self.pe[:T, None, :].astype(dtype)
+        if pos_offset is None:
+            x = x + self.pe[:T, None, :].astype(dtype)
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(self.pe, pos_offset, T, axis=0)
+            x = x + pe[:, None, :].astype(dtype)
         x = self.drop(x, deterministic=deterministic)
 
         v_layers = self._v_kl_layers()

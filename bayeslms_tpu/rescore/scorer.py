@@ -95,6 +95,24 @@ class BatchScorer:
                 raise ValueError("mc_samples requires carry_over=False")
         self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
         self._bucket_step = jax.jit(self._bucket_chunk_impl)
+        if rcfg.xl_mems:
+            u = cfg.uncertainty
+            std_layers = (
+                u == "none"
+                or (u == "Bayesian" and cfg.t_bayes_pos in ("none", "EMB"))
+                or (u == "Gaussian" and cfg.t_gauss_pos > 4)
+                or (u == "Variational" and cfg.t_v_pos == 0)
+            )
+            if not (cfg.is_transformer and std_layers):
+                raise ValueError(
+                    "xl_mems requires a Transformer whose encoder layers are "
+                    "all standard (stochastic layers have no memory hook)"
+                )
+            if self.interp or rcfg.mc_samples:
+                raise ValueError("xl_mems is incompatible with interpolation/MC")
+            self._xl_mem_step = jax.jit(self._xl_mem_impl)
+            self._xl_score_step = jax.jit(self._xl_score_impl)
+            self._tm_step = jax.jit(self._tm_impl)
 
     def _fused_scores(self, params, h, tgt, mask):
         from ..ops.ce_pallas import fused_decode_ce
@@ -216,9 +234,81 @@ class BatchScorer:
                 context_map[k] = last.get(label, "")
                 if hyps:
                     last[label] = (last.get(label, "") + " " + hyps[0]).strip()
+        if self.is_tm and self.rcfg.xl_mems:
+            return self._score_xl(nbest, word2idx, stream_fn)
         if self.is_tm or not self.rcfg.carry_over:
             return self._score_bucketed(nbest, word2idx, context_map)
         return self._score_carry(nbest, word2idx, stream_fn, context_map)
+
+    # -- Transformer-XL cross-utterance memory (RescoreConfig.xl_mems).
+    # Utterances stay serial per chain (like LSTM carry-over); every
+    # hypothesis of an utterance attends over segment memories built from
+    # the previous utterance's FIRST hypothesis, with positions continuing
+    # from the real memory length — exactly full-context scoring of
+    # [prev; hyp] (the capability the dev scorer's `--model_var XL` gestured
+    # at; its own `mems = tuple()` reset per hypothesis carried nothing,
+    # `…copy.py`:197-209). Memory lengths are bucketed (right-padded +
+    # mem_len masking) so compiles stay bounded.
+    def _xl_mem_impl(self, params, data):
+        """data: (Mb, 1) right-padded previous-first-hyp ids -> per-layer
+        (Mb, 1, E) memories (layer inputs; causal attention keeps the real
+        prefix exact regardless of padding)."""
+        _, mems = self.model.apply(
+            {"params": params}, data, deterministic=True,
+            return_hidden=True, return_mems=True,
+        )
+        return mems
+
+    def _xl_score_impl(self, params, data, tgt, ce_mask, mems, mem_len):
+        B = data.shape[1]
+        mems_b = [jnp.broadcast_to(m, (m.shape[0], B, m.shape[2])) for m in mems]
+        if self.use_fused_ce:
+            h = self.model.apply(
+                {"params": params}, data, deterministic=True, mems=mems_b,
+                mem_len=mem_len, return_hidden=True,
+            )
+            return self._fused_scores(params, h, tgt, ce_mask)
+        logits = self.model.apply(
+            {"params": params}, data, deterministic=True, mems=mems_b,
+            mem_len=mem_len,
+        )
+        return _masked_ce_sums(logits, tgt, ce_mask)
+
+    def _score_xl(self, nbest, word2idx, stream_fn=None):
+        rc = self.rcfg
+        buckets = length_buckets(rc.max_hyp_len)
+        N = max((len(h) for h in nbest.values()), default=1)
+        scores: Dict[tuple, float] = {}
+        last: Dict[str, list] = {}  # chain label -> previous first-hyp ids
+        for k, hyps in nbest.items():
+            label = stream_fn(k) if stream_fn else "_all"
+            enc = [encode_hyp(h, word2idx, backward=rc.backward) for h in hyps]
+            T = bucket_for(max(len(x) for x, _, _ in enc), buckets)
+            data, tgt, mask, _ = pad_batch(
+                [x for x, _, _ in enc], [y for _, y, _ in enc], T, N
+            )
+            prev = last.get(label)
+            if prev is None:
+                out = self._tm_step(
+                    self.params, self.params, jnp.asarray(data),
+                    jnp.asarray(tgt), jnp.asarray(mask),
+                )
+            else:
+                Mb = bucket_for(len(prev), buckets)
+                pdata = np.zeros((Mb, 1), np.int32)
+                pdata[: len(prev), 0] = prev
+                mems = self._xl_mem_step(self.params, jnp.asarray(pdata))
+                out = self._xl_score_step(
+                    self.params, jnp.asarray(data), jnp.asarray(tgt),
+                    jnp.asarray(mask), mems,
+                    jnp.asarray(min(len(prev), Mb), jnp.int32),
+                )
+            out = np.asarray(out)
+            for i in range(len(hyps)):
+                scores[(k, i)] = float(out[i])
+            if enc:
+                last[label] = enc[0][0][: rc.max_hyp_len]
+        return self._assemble(nbest, scores)
 
     def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE

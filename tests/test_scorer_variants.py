@@ -160,3 +160,59 @@ def test_fused_ce_scoring_matches_xla_paths(monkeypatch):
                     assert h1 == h2
                     np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=2e-4,
                                                err_msg=f"{model_kind} carry={carry} {k}")
+
+
+def test_xl_mems_scorer_exact_vs_full_context():
+    """RescoreConfig.xl_mems: every hypothesis of utterance u>1 scores
+    exactly as a full-context forward over [prev first-hyp input; hyp]
+    (positions aligned), and utterance 1 scores as plain."""
+    import os
+    os.environ["BAYESLM_FUSED_CE"] = "0"
+    try:
+        from collections import OrderedDict
+        import jax.numpy as jnp
+        import optax
+        from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+        from bayeslms_tpu.rescore.nbest import encode_hyp
+        from bayeslms_tpu.rescore.scorer import BatchScorer
+
+        V = 30
+        cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=8, nhid=16,
+                          nlayers=2, nhead=2, dropout=0.0)
+        model = build_model(cfg)
+        params = init_params(model, cfg)
+        w2i = {"<s>": 1, "<unk>": 0}
+        for i in range(2, V):
+            w2i[f"w{i}"] = i
+
+        nbest = OrderedDict()
+        nbest["u1"] = ["w2 w3 w4", "w5 w6"]
+        nbest["u2"] = ["w7 w8 w9 w10", "w11 w12"]
+
+        scorer = BatchScorer(cfg, params, RescoreConfig(xl_mems=True, max_hyp_len=16))
+        got = scorer.score_nbest(nbest, w2i)
+
+        prev_ids, _, _ = encode_hyp(nbest["u1"][0], w2i)
+        for j, hyp in enumerate(nbest["u2"]):
+            x, y, _ = encode_hyp(hyp, w2i)
+            full = jnp.asarray(np.array(prev_ids + x, np.int32)[:, None])
+            logits = model.apply({"params": params}, full, deterministic=True)
+            tail = logits[len(prev_ids):, 0]
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                tail, jnp.asarray(np.array(y, np.int32))
+            ).sum()
+            np.testing.assert_allclose(got["u2"][j][1], float(ce), rtol=1e-4)
+
+        # utterance 1 = plain scoring
+        for j, hyp in enumerate(nbest["u1"]):
+            x, y, _ = encode_hyp(hyp, w2i)
+            logits = model.apply(
+                {"params": params}, jnp.asarray(np.array(x, np.int32)[:, None]),
+                deterministic=True,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, 0], jnp.asarray(np.array(y, np.int32))
+            ).sum()
+            np.testing.assert_allclose(got["u1"][j][1], float(ce), rtol=1e-4)
+    finally:
+        os.environ.pop("BAYESLM_FUSED_CE", None)
