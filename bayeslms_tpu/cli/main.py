@@ -137,7 +137,8 @@ def cmd_rescore(args) -> int:
     scorer = BatchScorer(cfg, params, rcfg)
     res = run_pipeline(
         args.lattices, args.words, scorer, vocab.word2idx, args.workdir, rcfg,
-        arpa_lm=args.arpa, ref_text=args.ref,
+        arpa_lm=args.arpa, ref_text=args.ref, glm=args.glm,
+        asclite_clean=args.asclite_clean,
     )
     print(json.dumps({
         "n_utts": res.n_utts, "n_hyps": res.n_hyps,
@@ -238,6 +239,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-carry-over", action="store_true")
     r.add_argument("--min-lmwt", type=int, default=7)
     r.add_argument("--max-lmwt", type=int, default=15)
+    r.add_argument("--glm", default=None,
+                   help="SCTK GLM filter rules applied to refs+hyps "
+                        "(hubscr -g, score_asclite.sh:36)")
+    r.add_argument("--asclite-clean", action="store_true",
+                   help="drop hesitations/[noise]/<unk> from hyps "
+                        "(score_asclite.sh:87-93)")
     r.set_defaults(fn=cmd_rescore)
 
     n = sub.add_parser("snr", help="posterior SNR analysis (variance.py)")

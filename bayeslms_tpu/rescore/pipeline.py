@@ -87,6 +87,8 @@ def run_pipeline(
     arpa_lm: Optional[str] = None,
     ref_text: Optional[str] = None,
     tools_dir: Optional[str] = None,
+    glm: Optional[str] = None,
+    asclite_clean: bool = False,
 ) -> PipelineResult:
     os.makedirs(workdir, exist_ok=True)
     res = PipelineResult()
@@ -166,9 +168,13 @@ def run_pipeline(
             with open(hyp_path, "w") as f:
                 for utt, k in pick.items():
                     f.write(utt + " " + " ".join(hyp_texts[k]) + "\n")
+            wer_cmd = [_tool("wer", tools_dir)]
+            if glm:
+                wer_cmd.append(f"--glm={glm}")
+            if asclite_clean:
+                wer_cmd.append("--asclite-clean")
             out = _run_tool(
-                [_tool("wer", tools_dir), ref_text, hyp_path],
-                capture_output=True, text=True,
+                wer_cmd + [ref_text, hyp_path], capture_output=True, text=True,
             ).stdout
             m = re.search(r"%WER (\d+\.\d+)", out)
             wer = float(m.group(1))

@@ -210,3 +210,69 @@ def test_arpa_oov_in_context_maps_to_unk(tmp_path):
     log10p = (-0.30103 - 2.0) + (-0.25) + (-1.0)
     np.testing.assert_allclose(float(scores["u-1"]), -log10p * math.log(10),
                                rtol=1e-4)
+
+
+def test_wer_glm_filtering(tmp_path):
+    """GLM token-rewrite rules (hubscr -g): applied to refs AND hyps,
+    multiword LHS, first alternative of { A / B }, case-insensitive."""
+    glm = tmp_path / "test.glm"
+    glm.write_text(
+        ";; test rules\n"
+        "GONNA => GOING TO / [ ] __ [ ]\n"
+        "WANNA => { WANT TO / WANT A } / [ ] __ [ ]\n"
+        "KIND OF => KINDA / [ ] __ [ ]\n"
+    )
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 i am gonna go\nu2 kind of nice\n")
+    hyp.write_text("u1 i am going to go\nu2 kinda nice\n")
+    out = subprocess.run(
+        [tool("wer"), f"--glm={glm}", str(ref), str(hyp)],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    # after filtering both sides are identical -> 0 errors
+    assert "%WER 0.00" in out, out
+
+    # wanna -> first alternative WANT TO
+    ref.write_text("u1 i wanna go\n")
+    hyp.write_text("u1 i want to go\n")
+    out = subprocess.run(
+        [tool("wer"), f"--glm={glm}", str(ref), str(hyp)],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert "%WER 0.00" in out, out
+
+
+def test_wer_asclite_clean(tmp_path):
+    """--asclite-clean drops hesitations / [noise] tags / <unk> from hyps
+    (score_asclite.sh:87-93)."""
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 hello world\n")
+    hyp.write_text("u1 uh hello [noise] world <unk> hmm\n")
+    out = subprocess.run(
+        [tool("wer"), "--asclite-clean", str(ref), str(hyp)],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert "%WER 0.00" in out, out
+
+
+def test_wer_overlapping_speakers(tmp_path):
+    """Two ref lines with the same utt id = two concurrent speakers: the hyp
+    interleaving of both streams must align with 0 errors (asclite-style
+    multi-stream alignment), and a plain single-ref alignment of the same
+    data would not."""
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    # speaker A: "a b c", speaker B: "x y" — hyp hears the interleaving
+    ref.write_text("u1 a b c\nu1 x y\n")
+    hyp.write_text("u1 a x b y c\n")
+    out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
+                         capture_output=True, text=True).stdout
+    assert "%WER 0.00 [ 0 / 5" in out, out
+
+    # one substituted word in speaker B's stream
+    hyp.write_text("u1 a x b q c\n")
+    out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
+                         capture_output=True, text=True).stdout
+    assert "%WER 20.00 [ 1 / 5, 0 ins, 0 del, 1 sub ]" in out, out

@@ -2,9 +2,14 @@
 // summary. Native replacement for the SCTK scoring stage
 // (local/score_asclite.sh via lmrescore_nbest_pytorchnn_cuda.sh:239-245).
 //
-// Usage: wer <ref.txt> <hyp.txt>
+// Usage: wer [--glm=FILE] [--asclite-clean] <ref.txt> <hyp.txt>
 //   both files: "utt word word …"; utterances matched by id; hyps missing a
-//   ref are skipped with a warning (refs missing a hyp count as deletions).
+//   ref are skipped (refs missing a hyp count as deletions). MULTIPLE ref
+//   lines with the same utt id are overlapping speakers — the hypothesis is
+//   aligned against all of them simultaneously (asclite-style, hubscr -a -o).
+//   --glm applies SCTK GLM token-rewrite rules to refs AND hyps (hubscr -g);
+//   --asclite-clean drops noise tags / hesitations / <unk> from the hyps
+//   (score_asclite.sh:87-93).
 // Prints: %WER P [ N / R, I ins, D del, S sub ]  and %SER.
 #include <map>
 
@@ -12,28 +17,57 @@
 
 using namespace bayeslm;
 
-static std::map<std::string, std::vector<std::string>> read_trans(const std::string& p) {
-  std::map<std::string, std::vector<std::string>> m;
+static std::map<std::string, std::vector<std::vector<std::string>>> read_trans(
+    const std::string& p) {
+  std::map<std::string, std::vector<std::vector<std::string>>> m;
   auto f = open_in(p);
   std::string line;
   while (std::getline(f, line)) {
     auto w = split(line);
     if (w.empty()) continue;
-    m[w[0]] = std::vector<std::string>(w.begin() + 1, w.end());
+    m[w[0]].push_back(std::vector<std::string>(w.begin() + 1, w.end()));
   }
   return m;
 }
 
 int main(int argc, char** argv) {
-  if (argc != 3) die("usage: wer <ref.txt> <hyp.txt>");
-  auto ref = read_trans(argv[1]);
-  auto hyp = read_trans(argv[2]);
+  GlmFilter glm;
+  bool clean = false;
+  std::vector<std::string> pos;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    if (a.rfind("--glm=", 0) == 0)
+      glm = GlmFilter(a.substr(6));
+    else if (a == "--asclite-clean")
+      clean = true;
+    else
+      pos.push_back(a);
+  }
+  if (pos.size() != 2)
+    die("usage: wer [--glm=FILE] [--asclite-clean] <ref.txt> <hyp.txt>");
+  auto ref = read_trans(pos[0]);
+  auto hyp = read_trans(pos[1]);
 
   WerCounts total;
-  for (const auto& [utt, r] : ref) {
+  for (const auto& [utt, rlists] : ref) {
     auto it = hyp.find(utt);
-    std::vector<std::string> h = (it == hyp.end()) ? std::vector<std::string>{} : it->second;
-    total.add(align_wer(r, h));
+    std::vector<std::string> h =
+        (it == hyp.end() || it->second.empty()) ? std::vector<std::string>{}
+                                                : it->second.front();
+    if (clean) h = asclite_clean(h);
+    std::vector<std::vector<std::string>> rs = rlists;
+    if (!glm.empty()) {
+      for (auto& r : rs) r = glm.apply(r);
+      h = glm.apply(h);
+    } else if (rlists.size() > 1 || clean) {
+      // multi-ref / cleaned comparisons are case-insensitive like sclite
+      for (auto& r : rs)
+        for (auto& w : r)
+          for (auto& c : w) c = (char)std::toupper((unsigned char)c);
+      for (auto& w : h)
+        for (auto& c : w) c = (char)std::toupper((unsigned char)c);
+    }
+    total.add(align_wer_multi(rs, h));
   }
   long long err = total.sub + total.del + total.ins;
   std::printf("%%WER %.2f [ %lld / %lld, %lld ins, %lld del, %lld sub ]\n",
