@@ -99,8 +99,14 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], cfg) -> dict:
             mm = re.fullmatch(r"rnn\.(weight|bias)_(ih|hh)_l(\d+)", k)
             kind = "w" if mm.group(1) == "weight" else "b"
             put(f"core/l{mm.group(3)}_{kind}_{mm.group(2)}", v)
-        # ---- Bayes2LSTM / BayesLSTM means and lgstds (reference names kept)
+        # ---- Bayes2LSTM / BayesLSTM / GaussLSTM / legacy VLSTM means+lgstds
         elif k.startswith("rnn.") and ("_mean_" in k or "_lgstd_" in k):
+            put(f"core/{k[len('rnn.'):]}", v)
+        # ---- legacy GaussLSTM's bare GP unit (model.py:1379-1388)
+        elif k.startswith("rnn.gpnn."):
+            put(f"core/gpnn/{k[len('rnn.gpnn.'):]}", v)
+        # ---- legacy VLSTM noise tables (model.py:2609-2613)
+        elif re.fullmatch(r"rnn\.hiddens_(mean|lgstd)(_p)?", k):
             put(f"core/{k[len('rnn.'):]}", v)
         # ---- GPLSTM / VariationalLSTM stacks (GaussRNNModel model.py:1317-1366,
         # VariationalRNNModel :2373-2423): per-cell keys under rnn.rnn.<i>.

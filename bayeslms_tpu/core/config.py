@@ -51,6 +51,17 @@ class ModelConfig:
     t_v_pos: int = 0  # 0 none, 1 layer0, 2 layer1, 3 layers 0+1
     l_v_pos: str = "00"  # per-layer variational flag, e.g. "11"
 
+    # Orphaned reference variants, kept for full capability parity:
+    # - l_gauss_legacy_pos 0-8 selects the older hand-rolled ``GaussLSTM``
+    #   (model.py:1369-1606; GP unit substituted into layer-1 gates/cell/
+    #   hidden/input paths; deterministic type-0 GPNN). -1 = off.
+    # - l_v_legacy selects the whole-output-noise ``VLSTM``
+    #   (model.py:2582-2733; trainable (32, H) posterior/prior tables,
+    #   additive output noise during training). Requires batch_size == 32
+    #   to sample noise exactly like the reference's broadcast.
+    l_gauss_legacy_pos: int = -1
+    l_v_legacy: bool = False
+
     # Whether GP layers actually draw weight/coef samples during training.
     # The reference GPNN ships with `self.sample = False` (model.py:1800) so
     # plain `train.py` training is deterministic-with-KL; the NAS loop toggles

@@ -504,6 +504,202 @@ class _StdLSTMLayer(nn.Module):
         return lstm_layer(x, h0, c0, p, step_mask=step_mask)
 
 
+class GaussLSTMLegacyCore(nn.Module):
+    """Orphaned reference ``GaussLSTM`` (model.py:1369-1606), positions 0-8.
+
+    Hand-rolled 2-layer LSTM at the posterior means with a deterministic
+    type-0 GPNN substituted into layer 1 only:
+      1-4: the (i, f, g, o) gate PRE-activation is replaced by gpnn(x_t) —
+           the standard activation still applies afterwards except pos 3,
+           whose cell gate takes gpnn(x_t) RAW (model.py:1580-1586);
+      5: the previous cell state is transformed, c1 <- gpnn(c1);
+      6: gates = x W_ih^T + b_ih + gpnn(h) (b_hh dropped, model.py:1532-1535);
+      7: gates = gpnn(x) + h W_hh^T + b_hh (b_ih dropped, model.py:1537-1540).
+    Position 8 is pos-3 behavior (the reference passes GPNN an unsupported
+    ``deterministic=True`` kwarg there and crashes; type-0 GPNN is already
+    deterministic, so 8 == 3 here). Requires emsize == nhid (the reference
+    feeds the H-sized GPNN with the layer input). No sampling, no KL —
+    matching the reference class, which no container ever constructs.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        H, E = cfg.nhid, cfg.emsize
+        pos = cfg.l_gauss_legacy_pos
+        init = _rnn_param_init(H)
+        self.weight_ih_mean_1 = self.param("weight_ih_mean_1", init, (4 * H, E))
+        self.weight_hh_mean_1 = self.param("weight_hh_mean_1", init, (4 * H, H))
+        self.bias_ih_mean_1 = self.param("bias_ih_mean_1", init, (4 * H,))
+        self.bias_hh_mean_1 = self.param("bias_hh_mean_1", init, (4 * H,))
+        self.weight_ih_mean_2 = self.param("weight_ih_mean_2", init, (4 * H, H))
+        self.weight_hh_mean_2 = self.param("weight_hh_mean_2", init, (4 * H, H))
+        self.bias_ih_mean_2 = self.param("bias_ih_mean_2", init, (4 * H,))
+        self.bias_hh_mean_2 = self.param("bias_hh_mean_2", init, (4 * H,))
+        if 1 <= pos <= 5 or pos == 8:
+            self.gpnn = GPNN(H, H, act_set=("sigmoid", "tanh", "relu"))
+        elif pos in (6, 7):
+            self.gpnn = GPNN(H, 4 * H)
+
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        cfg = self.cfg
+        H = cfg.nhid
+        pos = cfg.l_gauss_legacy_pos
+        dtype = x.dtype
+        T, B, _ = x.shape
+        h0, c0 = hidden
+
+        w_ih1 = self.weight_ih_mean_1.T.astype(dtype)
+        w_hh1 = self.weight_hh_mean_1.T.astype(dtype)
+        b_ih1 = self.bias_ih_mean_1.astype(dtype)
+        b_hh1 = self.bias_hh_mean_1.astype(dtype)
+
+        # hoist all x-only work out of the scan
+        if pos == 7:
+            drawn = self.gpnn.draw(deterministic)
+            xg = GPNN.apply_drawn(x, *drawn, self.gpnn.act_set)  # (T, B, 4H)
+            add_bias = b_hh1
+        elif pos == 6:
+            xg = x @ w_ih1 + b_ih1
+            add_bias = jnp.zeros_like(b_hh1)  # b_hh dropped (ref quirk)
+            drawn6 = self.gpnn.draw(deterministic)
+        else:
+            xg = x @ w_ih1 + b_ih1
+            add_bias = b_hh1
+        gp_x = None
+        if 1 <= pos <= 4 or pos == 8:
+            d = self.gpnn.draw(deterministic)
+            gp_x = GPNN.apply_drawn(x, *d, self.gpnn.act_set)  # (T, B, H)
+        if pos == 5:
+            drawn5 = self.gpnn.draw(deterministic)
+
+        ms = step_mask if step_mask is not None else jnp.ones((T, B), dtype)
+        gpx = gp_x if gp_x is not None else jnp.zeros((T, 1, 1), dtype)
+        act5 = self.gpnn.act_set if pos == 5 else ()
+        act6 = self.gpnn.act_set if pos == 6 else ()
+
+        def step(carry, inp):
+            h1, c1 = carry
+            xg_t, gpx_t, m_t = inp
+            if pos == 6:
+                gates = xg_t + GPNN.apply_drawn(h1, *drawn6, act6)
+            else:
+                gates = xg_t + h1 @ w_hh1 + add_bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            if pos == 1:
+                i = gpx_t
+            elif pos == 2:
+                f = gpx_t
+            elif pos == 4:
+                o = gpx_t
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = gpx_t if pos in (3, 8) else jnp.tanh(g)
+            c_eff = GPNN.apply_drawn(c1, *drawn5, act5) if pos == 5 else c1
+            cn = f * c_eff + i * g
+            hn = o * jnp.tanh(cn)
+            keep = m_t[:, None].astype(hn.dtype)
+            hn = keep * hn + (1.0 - keep) * h1
+            cn = keep * cn + (1.0 - keep) * c1
+            return (hn, cn), hn
+
+        (h1T, c1T), ys1 = jax.lax.scan(step, (h0[0], c0[0]), (xg, gpx, ms))
+
+        # layer 2: standard LSTM over layer-1 outputs (model.py:1590-1600)
+        p2 = LSTMParams(
+            self.weight_ih_mean_2, self.weight_hh_mean_2,
+            self.bias_ih_mean_2, self.bias_hh_mean_2,
+        )
+        ys2, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask)
+        return ys2, (jnp.stack([h1T, h2T]), jnp.stack([c1T, c2T]))
+
+
+class VLSTMLegacyCore(nn.Module):
+    """Orphaned reference ``VLSTM`` (model.py:2582-2733): a 2-layer LSTM at
+    the posterior means whose WHOLE OUTPUT sequence receives additive noise
+    eps * exp(hiddens_lgstd) during training, with trainable (32, H)
+    posterior and prior tables (32 = the recipe batch size the reference's
+    broadcast implicitly requires, model.py:2610-2613, :2728).
+
+    Quirks kept: layer-2 w_ih has shape (4H, emsize) — NOT (4H, H)
+    (model.py:2602; works because the recipes use emsize == nhid).
+    ``kl(output)`` implements model.py:2664-2672 with an explicit hidden
+    argument; the reference's ``self.hidden`` is never assigned (the write
+    at :2727 is commented out), so its KL crashes — a latent bug. KL is
+    sown when either l_v_pos digit is 1, mirroring the class's own gate.
+    """
+
+    cfg: ModelConfig
+    noise_rows: int = 32
+
+    def setup(self):
+        cfg = self.cfg
+        H, E = cfg.nhid, cfg.emsize
+        init = _rnn_param_init(H)
+        self.weight_ih_mean_1 = self.param("weight_ih_mean_1", init, (4 * H, E))
+        self.weight_hh_mean_1 = self.param("weight_hh_mean_1", init, (4 * H, H))
+        self.bias_ih_mean_1 = self.param("bias_ih_mean_1", init, (4 * H,))
+        self.bias_hh_mean_1 = self.param("bias_hh_mean_1", init, (4 * H,))
+        self.weight_ih_mean_2 = self.param("weight_ih_mean_2", init, (4 * H, E))
+        self.weight_hh_mean_2 = self.param("weight_hh_mean_2", init, (4 * H, H))
+        self.bias_ih_mean_2 = self.param("bias_ih_mean_2", init, (4 * H,))
+        self.bias_hh_mean_2 = self.param("bias_hh_mean_2", init, (4 * H,))
+        self.active = int(cfg.l_v_pos[0]) == 1 or int(cfg.l_v_pos[1]) == 1
+        if self.active:
+            R = self.noise_rows
+            lg = gaussian.lgstd_init(1.0 / math.sqrt(cfg.nhid))
+            self.hiddens_lgstd = self.param("hiddens_lgstd", lg, (R, H))
+            self.hiddens_mean = self.param("hiddens_mean", init, (R, H))
+            self.hiddens_lgstd_p = self.param("hiddens_lgstd_p", lg, (R, H))
+            self.hiddens_mean_p = self.param("hiddens_mean_p", init, (R, H))
+
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+        h0, c0 = hidden
+        p1 = LSTMParams(
+            self.weight_ih_mean_1, self.weight_hh_mean_1,
+            self.bias_ih_mean_1, self.bias_hh_mean_1,
+        )
+        ys1, h1T, c1T = lstm_layer(x, h0[0], c0[0], p1, step_mask=step_mask)
+        p2 = LSTMParams(
+            self.weight_ih_mean_2, self.weight_hh_mean_2,
+            self.bias_ih_mean_2, self.bias_hh_mean_2,
+        )
+        out, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask)
+
+        if self.active:
+            pre = out  # KL reads the PRE-noise output (model.py:2664-2672)
+            if not deterministic:
+                B = out.shape[1]
+                assert B == self.noise_rows, (
+                    f"legacy VLSTM noise table is ({self.noise_rows}, H); the "
+                    f"reference's output += noise broadcast requires batch "
+                    f"== {self.noise_rows}, got {B}"
+                )
+                eps = jax.random.normal(
+                    self.make_rng("sample"), self.hiddens_lgstd.shape
+                )
+                out = out + (eps * jnp.exp(self.hiddens_lgstd)).astype(out.dtype)[None]
+            # the commented-out write at :2727 stored the WHOLE output; the
+            # (32, H) tables only broadcast against batch == 32 (same
+            # implicit requirement as the noise add)
+            if out.shape[1] == self.noise_rows:
+                self.sow("losses", "kl", self.kl(pre))
+            else:
+                self.sow("losses", "kl", jnp.asarray(0.0))
+        return out, (jnp.stack([h1T, h2T]), jnp.stack([c1T, c2T]))
+
+    def kl(self, hidden):
+        prior_mean = hidden * self.hiddens_mean_p
+        return (
+            jnp.mean(
+                (hidden - prior_mean) ** 2.0
+                - self.hiddens_lgstd * 2.0
+                + jnp.exp(self.hiddens_lgstd * 2.0)
+            )
+            / 2.0
+        )
+
+
 class VLSTMCore(nn.Module):
     """Variational LSTM: two cells with optional per-timestep hidden noise.
 
@@ -602,9 +798,12 @@ class RecurrentLM(nn.Module):
         elif cfg.uncertainty == "Bayesian":
             self.core = BayesLSTMCore(cfg)
         elif cfg.uncertainty == "Gaussian":
-            self.core = GPLSTMCore(cfg)
+            if cfg.l_gauss_legacy_pos >= 0:
+                self.core = GaussLSTMLegacyCore(cfg)
+            else:
+                self.core = GPLSTMCore(cfg)
         elif cfg.uncertainty == "Variational":
-            self.core = VLSTMCore(cfg)
+            self.core = VLSTMLegacyCore(cfg) if cfg.l_v_legacy else VLSTMCore(cfg)
         else:
             raise ValueError(cfg.uncertainty)
 

@@ -135,6 +135,290 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# =====================================================================
+# Training path: fused decode+CE with a custom VJP (ROUND1_NOTES item 2).
+#
+# The XLA training step materializes (M, V) logits THREE times in HBM
+# (forward logits, softmax, dlogits) — ~75% of train-step FLOPs at 49k
+# vocab run at ~30% of peak because of that traffic. Here:
+#
+#   forward : the online-logsumexp kernel, extended to also emit the
+#             per-token (max, logsumexp) stats.
+#   backward: two kernels that RECOMPUTE score tiles from the residuals
+#             (flash-attention-style) instead of reading stored logits:
+#     dh[m]  = g_m * sum_v (p_mv - hit_mv) E_v      (tokens outer, vocab inner)
+#     dE[v]  = sum_m (g_m (p_mv - hit_mv)) h_m      (vocab outer, tokens inner)
+#     db[v]  = sum_m  g_m (p_mv - hit_mv)
+#   with p_mv = exp(score_mv - max_m) / sumexp_m from the saved stats.
+#
+# Matmul cost is 4*M*V*D vs XLA's ~3*M*V*D, but zero (M, V) HBM traffic.
+# Accumulation is f32; the p-matmuls run in the hidden dtype (bf16 on TPU).
+# =====================================================================
+
+
+def _fwd_stats_kernel(h_ref, emb_ref, bias_ref, tgt_ref, out_ref, mout_ref,
+                      sout_ref, m_scr, s_scr, t_scr):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        t_scr[:] = jnp.zeros_like(t_scr)
+
+    scores = (
+        jax.lax.dot_general(
+            h_ref[:], emb_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0].astype(jnp.float32)
+    )
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(scores - m_new), axis=-1, keepdims=True
+    )
+    m_scr[:] = m_new
+
+    tloc = tgt_ref[:][:, :1] - j * scores.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    hit = cols == tloc
+    t_scr[:] = t_scr[:] + jnp.sum(jnp.where(hit, scores, 0.0), axis=-1, keepdims=True)
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse = jnp.log(s_scr[:]) + m_scr[:]
+        out_ref[:] = jnp.broadcast_to(lse - t_scr[:], out_ref.shape)
+        mout_ref[:] = jnp.broadcast_to(m_scr[:], mout_ref.shape)
+        sout_ref[:] = jnp.broadcast_to(s_scr[:], sout_ref.shape)
+
+
+def _bwd_dh_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
+                   out_ref, acc_scr):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    scores = (
+        jax.lax.dot_general(
+            h_ref[:], emb_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0].astype(jnp.float32)
+    )
+    m = stat_ref[:][:, :1]
+    s = stat_ref[:][:, 8:9]
+    p = jnp.exp(scores - m) / s
+
+    tloc = tgt_ref[:][:, :1] - j * scores.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    d = p - (cols == tloc).astype(jnp.float32)
+
+    acc_scr[:] = acc_scr[:] + jnp.dot(
+        d.astype(emb_ref.dtype), emb_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nv - 1)
+    def _():
+        g = g_ref[:][:, :1]
+        out_ref[:] = (g * acc_scr[:]).astype(out_ref.dtype)
+
+
+def _bwd_de_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
+                   de_ref, db_ref, acc_scr, accb_scr):
+    i = pl.program_id(1)  # token tiles INNER so dE accumulates in VMEM
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        accb_scr[:] = jnp.zeros_like(accb_scr)
+
+    scores = (
+        jax.lax.dot_general(
+            h_ref[:], emb_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0].astype(jnp.float32)
+    )
+    m = stat_ref[:][:, :1]
+    s = stat_ref[:][:, 8:9]
+    p = jnp.exp(scores - m) / s
+
+    j = pl.program_id(0)
+    tloc = tgt_ref[:][:, :1] - j * scores.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    g = g_ref[:][:, :1]
+    gp = g * (p - (cols == tloc).astype(jnp.float32))  # (bm, bv) f32
+
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        gp.astype(h_ref.dtype), h_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    accb_scr[:] = accb_scr[:] + jnp.sum(gp, axis=0, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _():
+        de_ref[:] = acc_scr[:]
+        db_ref[:] = accb_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bv"))
+def _run_fwd_stats(h, emb, bias, tgt, bm: int, bv: int):
+    M, D = h.shape
+    V = emb.shape[0]
+    grid = (M // bm, V // bv)
+    shp = jax.ShapeDtypeStruct((M, 8), jnp.float32)
+    ce, mx, se = pl.pallas_call(
+        _fwd_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bv, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[shp, shp, shp],
+        scratch_shapes=[
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(h, emb, bias, tgt)
+    return ce[:, 0], mx[:, 0], se[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bv"))
+def _run_bwd_dh(h, emb, bias, tgt, stats, g, bm: int, bv: int):
+    M, D = h.shape
+    V = emb.shape[0]
+    grid = (M // bm, V // bv)
+    return pl.pallas_call(
+        _bwd_dh_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bv, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, D), jnp.float32)],
+        interpret=_INTERPRET,
+    )(h, emb, bias, tgt, stats, g)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bv"))
+def _run_bwd_de(h, emb, bias, tgt, stats, g, bm: int, bv: int):
+    M, D = h.shape
+    V = emb.shape[0]
+    grid = (V // bv, M // bm)  # vocab OUTER, tokens inner
+    return pl.pallas_call(
+        _bwd_de_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bv, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 8), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 16), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 8), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bv, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((V, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bv, D), jnp.float32),
+            pltpu.VMEM((1, bv), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(h, emb, bias, tgt, stats, g)
+
+
+def _pad_inputs(h, emb, bias, targets, bm, bv):
+    D = h.shape[-1]
+    V = emb.shape[0]
+    hf = h.reshape(-1, D)
+    tf = targets.reshape(-1).astype(jnp.int32)
+    M = hf.shape[0]
+    M_pad = _round_up(M, bm)
+    V_pad = _round_up(V, bv)
+    if M_pad != M:
+        hf = jnp.pad(hf, ((0, M_pad - M), (0, 0)))
+        tf = jnp.pad(tf, (0, M_pad - M))
+    embp, biasp = emb.astype(h.dtype), bias
+    if V_pad != V:
+        embp = jnp.pad(embp, ((0, V_pad - V), (0, 0)))
+        biasp = jnp.pad(bias, (0, V_pad - V), constant_values=-1e30)
+    return hf, embp, biasp.reshape(1, V_pad), tf, M, V_pad
+
+
+@jax.custom_vjp
+def fused_decode_ce_train(h, emb, bias, targets):
+    """Differentiable fused decode+CE: like fused_decode_ce but with a
+    custom VJP whose backward recomputes score tiles instead of storing
+    (M, V) logits. Grads flow to h, emb, bias."""
+    hf, embp, biasp, tf, M, V_pad = _pad_inputs(h, emb, bias, targets, _BM_TRAIN, _BV)
+    tgt8 = jnp.broadcast_to(tf[:, None], (tf.shape[0], 8))
+    ce, _, _ = _run_fwd_stats(hf, embp, biasp, tgt8, _BM_TRAIN, _BV)
+    return ce[:M].reshape(targets.shape)
+
+
+def _fdc_fwd(h, emb, bias, targets):
+    hf, embp, biasp, tf, M, V_pad = _pad_inputs(h, emb, bias, targets, _BM_TRAIN, _BV)
+    tgt8 = jnp.broadcast_to(tf[:, None], (tf.shape[0], 8))
+    ce, mx, se = _run_fwd_stats(hf, embp, biasp, tgt8, _BM_TRAIN, _BV)
+    res = (h, emb, bias, targets, mx, se)
+    return ce[:M].reshape(targets.shape), res
+
+
+def _fdc_bwd(res, g):
+    h, emb, bias, targets, mx, se = res
+    hf, embp, biasp, tf, M, V_pad = _pad_inputs(h, emb, bias, targets, _BM_TRAIN, _BV)
+    M_pad = hf.shape[0]
+    gf = jnp.pad(g.reshape(-1).astype(jnp.float32), (0, M_pad - M))
+    tgt8 = jnp.broadcast_to(tf[:, None], (M_pad, 8))
+    g8 = jnp.broadcast_to(gf[:, None], (M_pad, 8))
+    # stats packed (bm, 16): cols 0-7 max, cols 8-15 sumexp
+    stats = jnp.concatenate(
+        [jnp.broadcast_to(mx[:, None], (M_pad, 8)),
+         jnp.broadcast_to(se[:, None], (M_pad, 8))], axis=1
+    )
+    dh = _run_bwd_dh(hf, embp, biasp, tgt8, stats, g8, _BM_TRAIN, _BV)
+    # dE holds a (bv, D) f32 accumulator + (bv, D) f32 output block in VMEM;
+    # bv=1024 at D=1024 blows the 16 MB budget (measured 18 MB) — halve it.
+    de, db = _run_bwd_de(hf, embp, biasp, tgt8, stats, g8, _BM_TRAIN,
+                         min(_BV_DE, _BV))
+    V, D = emb.shape
+    dh = dh[:M].reshape(h.shape).astype(h.dtype)
+    de = de[:V].astype(emb.dtype)
+    db = db[0, :V].astype(bias.dtype)
+    return dh, de, db, None
+
+
+fused_decode_ce_train.defvjp(_fdc_fwd, _fdc_bwd)
+
+_BM_TRAIN = 512  # token-tile rows for the train kernels (dh acc is (bm, D) f32)
+_BV_DE = 512  # vocab-tile columns for the dE kernel (f32 acc + out in VMEM)
+
+
 def fused_ce_ok(D: int) -> bool:
     try:
         platform = jax.devices()[0].platform

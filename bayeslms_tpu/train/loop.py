@@ -77,6 +77,25 @@ class Trainer:
             from ..parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dp=train_cfg.dp_shards, tp=1)
+        # Fused decode+CE training path (ops/ce_pallas.py custom VJP): the
+        # (T*B, V) logits never hit HBM in forward OR backward — backward
+        # recomputes score tiles from saved (max, sumexp) stats. Single-chip
+        # only: under a mesh the XLA CE stays (GSPMD partitions it natively,
+        # while an opaque pallas call would force an all-gather of the
+        # vocab-sharded decoder). Opt out with BAYESLM_FUSED_CE_TRAIN=0.
+        import os as _os
+
+        from ..ops.ce_pallas import fused_ce_ok
+
+        _dim = model_cfg.emsize if model_cfg.is_transformer else model_cfg.nhid
+        self.use_fused_ce_train = (
+            _os.environ.get("BAYESLM_FUSED_CE_TRAIN", "1") != "0"
+            and model_cfg.tied
+            and fused_ce_ok(_dim)
+            and model_cfg.vocab_size >= 4096
+            and self.mesh is None
+            and train_cfg.dp_shards <= 1
+        )
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_impl)
         self._shard_ready = False
@@ -124,13 +143,39 @@ class Trainer:
         )
         return logits, hidden, var
 
+    def _apply_train_hidden(self, params, data, hidden, rngs):
+        """Forward returning pre-decoder states (for the fused CE path)."""
+        variables = {"params": params}
+        if self.priors:
+            variables["priors"] = self.priors
+        if self.is_tm:
+            out, var = self.model.apply(
+                variables, data, deterministic=False, rngs=rngs,
+                mutable=["losses"], return_hidden=True,
+            )
+            return out, hidden, var
+        (out, hidden), var = self.model.apply(
+            variables, data, hidden, deterministic=False, rngs=rngs,
+            mutable=["losses"], return_hidden=True,
+        )
+        return out, hidden, var
+
     def _step_impl(self, params, opt_state, hidden, data, target, lr, kl_scale, step_key):
         d_key, s_key = jax.random.split(step_key)
         rngs = {"dropout": d_key, "sample": s_key}
 
         def loss_fn(p):
-            logits, new_hidden, var = self._apply_train(p, data, hidden, rngs)
-            mle, _ = cross_entropy(logits, target)
+            if self.use_fused_ce_train:
+                from ..ops.ce_pallas import fused_decode_ce_train
+
+                out, new_hidden, var = self._apply_train_hidden(p, data, hidden, rngs)
+                ce = fused_decode_ce_train(
+                    out, p["embedding"], p["decoder_b"], target
+                )
+                mle = ce.mean()
+            else:
+                logits, new_hidden, var = self._apply_train(p, data, hidden, rngs)
+                mle, _ = cross_entropy(logits, target)
             kl = sum_losses(var.get("losses", {})) * kl_scale
             return mle + kl, (mle, kl, new_hidden)
 

@@ -368,3 +368,76 @@ def test_bayes_dense_prior_kl_golden(ref):
     )
     ours = float(sum_losses(var["losses"]))
     np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+# --------------------------------------------------- orphaned legacy classes
+
+@pytest.mark.parametrize("pos", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_gauss_lstm_legacy_golden(ref, pos):
+    """Orphaned GaussLSTM positions 0-7 (model.py:1369-1606): eval forward
+    of the bare core matches. (Position 8 crashes in the reference — GPNN
+    has no `deterministic` kwarg — so it has no golden value; ours treats
+    8 as the pos-3 behavior.)"""
+    torch.manual_seed(70 + pos)
+    core = ref.GaussLSTM(E, H, num_layers=2, position=pos).eval()
+    rng = np.random.default_rng(pos)
+    x = torch.tensor(rng.normal(size=(T, B, E)).astype(np.float32))
+    h0 = torch.zeros(2, B, H)
+    with torch.no_grad():
+        out, _ = core(x, (h0, h0))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Gaussian", l_gauss_legacy_pos=pos)
+    from bayeslms_tpu.models.lstm_lm import GaussLSTMLegacyCore
+
+    ours = GaussLSTMLegacyCore(cfg)
+    params = ours.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.asarray(x.numpy()), init_hidden(2, B, H), deterministic=True,
+    )["params"]
+    sd = {f"rnn.{k}": v.detach().numpy() for k, v in core.state_dict().items()}
+    from bayeslms_tpu.core.checkpoint import import_torch_state_dict as imp
+    mapped = imp(sd, cfg)["core"]
+    from bayeslms_tpu.core.checkpoint import partial_update
+    params, updated = partial_update(params, mapped)
+    assert len(updated) == len(sd), (sorted(sd), updated)
+
+    got, _ = ours.apply({"params": params}, jnp.asarray(x.numpy()),
+                        init_hidden(2, B, H), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), out.numpy(), rtol=2e-4, atol=1e-5)
+
+
+def test_vlstm_legacy_golden(ref):
+    """Orphaned whole-output-noise VLSTM (model.py:2582-2733): eval forward
+    of the bare core matches (eval = means, no noise). Its kl_divergence
+    reads a never-assigned self.hidden (the write at :2727 is commented
+    out), so the KL has no reference value; ours implements the formula on
+    the pre-noise output."""
+    torch.manual_seed(80)
+    core = ref.VLSTM(E, H, num_layers=2, position="10").eval()
+    rng = np.random.default_rng(8)
+    x = torch.tensor(rng.normal(size=(T, B, E)).astype(np.float32))
+    h0 = torch.zeros(2, B, H)
+    with torch.no_grad():
+        out, _ = core(x, (h0, h0))
+
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Variational", l_v_pos="10", l_v_legacy=True)
+    from bayeslms_tpu.models.lstm_lm import VLSTMLegacyCore
+
+    ours = VLSTMLegacyCore(cfg)
+    params = ours.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.asarray(x.numpy()), init_hidden(2, B, H), deterministic=True,
+    )["params"]
+    sd = {f"rnn.{k}": v.detach().numpy() for k, v in core.state_dict().items()}
+    from bayeslms_tpu.core.checkpoint import import_torch_state_dict as imp
+    from bayeslms_tpu.core.checkpoint import partial_update
+    params, updated = partial_update(params, imp(sd, cfg)["core"])
+    assert len(updated) == len(sd), (sorted(sd), updated)
+
+    got, _ = ours.apply({"params": params}, jnp.asarray(x.numpy()),
+                        init_hidden(2, B, H), deterministic=True,
+                        mutable=("losses",))[0], None
+    got = got[0] if isinstance(got, tuple) else got
+    np.testing.assert_allclose(np.asarray(got), out.numpy(), rtol=2e-4, atol=1e-5)

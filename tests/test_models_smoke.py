@@ -140,3 +140,34 @@ def test_sample_changes_with_rng_bayes_lstm():
     e1 = model.apply({"params": params}, tokens, hidden, deterministic=True)[0]
     e2 = model.apply({"params": params}, tokens, hidden, deterministic=True)[0]
     assert jnp.allclose(e1, e2)
+
+
+def test_legacy_cores_train_smoke():
+    """Legacy GaussLSTM / VLSTM cores run through the full RecurrentLM +
+    train-step path (VLSTM legacy noise+KL requires batch == 32)."""
+    import jax
+    import jax.numpy as jnp
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+    from bayeslms_tpu.train.loop import Trainer
+    from bayeslms_tpu.train.optim import init_opt_state
+
+    for cfg in (
+        ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8, dropout=0.0,
+                    uncertainty="Gaussian", l_gauss_legacy_pos=6),
+        ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8, dropout=0.0,
+                    uncertainty="Variational", l_v_pos="10", l_v_legacy=True),
+    ):
+        B, T = 32, 6
+        trainer = Trainer(cfg, TrainConfig(batch_size=B, seq_len=T))
+        state = trainer.init_state(seed=0)
+        data = jnp.ones((T, B), jnp.int32)
+        out = trainer._train_step(
+            state.params, init_opt_state(state.params),
+            init_hidden(2, B, cfg.nhid), data, data,
+            jnp.asarray(0.1, jnp.float32), jnp.asarray(0.5, jnp.float32),
+            jax.random.key(0),
+        )
+        assert bool(jnp.isfinite(out[3])), cfg
+        if cfg.l_v_legacy:
+            assert float(out[5]) != 0.0  # VLSTM KL flows into the loss

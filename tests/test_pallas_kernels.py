@@ -100,3 +100,40 @@ def test_fused_decode_ce_matches_xla(monkeypatch):
         logits.reshape(-1, V), tgt.reshape(-1)
     ).reshape(T, B)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_decode_ce_train_grads_match_xla(monkeypatch):
+    """Custom-VJP fused decode+CE: value and grads (dh, dE, db) match the
+    XLA logits+softmax-CE reference (interpret mode, non-multiple shapes)."""
+    import optax
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM_TRAIN", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    rng = np.random.default_rng(3)
+    T, B, D, V = 5, 3, 16, 200  # M=15 pads to 16; V pads to 256
+    h = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.integers(0, V, size=(T, B)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0.2, 1.0, size=(T, B)).astype(np.float32))
+
+    def loss_fused(h, emb, bias):
+        ce = cp.fused_decode_ce_train(h, emb, bias, tgt)
+        return (ce * w).sum()
+
+    def loss_xla(h, emb, bias):
+        logits = h @ emb.T + bias
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, V), tgt.reshape(-1)
+        ).reshape(T, B)
+        return (ce * w).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(h, emb, bias)
+    v2, g2 = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(h, emb, bias)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ("dh", "dE", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
