@@ -151,6 +151,12 @@ class BayesLSTMCore(nn.Module):
 
         # --- sample-and-add into the gate slice (flat_parameters semantics,
         # model.py:705-732): ONE epsilon per call, drawn outside the scan.
+        # 2D slices route through the fused on-core sampler (ops/bayes_matmul
+        # sample_noise: exp(lgstd)*eps from the kernel PRNG, custom VJP) when
+        # shapes qualify; biases and odd shapes keep the XLA path. Same
+        # distribution, different bits than jax.random.
+        from ..ops.bayes_matmul import sample_noise, sample_noise_ok
+
         eff = [dict(m) for m in means]
         if not deterministic and 1 <= pos <= 4:
             rows = slice((pos - 1) * H, pos * H)
@@ -162,7 +168,14 @@ class BayesLSTMCore(nn.Module):
                 for i, (pname, lname) in enumerate(
                     (("w_hh", "w_hh"), ("w_ih", "w_ih"), ("b_hh", "b_hh"), ("b_ih", "b_ih"))
                 ):
-                    diff = gaussian.sample_diff(ks[i], lp[lname])
+                    lg = lp[lname]
+                    if sample_noise_ok(jnp.shape(lg)):
+                        seed = jax.random.randint(
+                            ks[i], (1,), 0, 2**31 - 1, dtype=jnp.int32
+                        )
+                        diff = sample_noise(lg, seed)
+                    else:
+                        diff = gaussian.sample_diff(ks[i], lg)
                     eff[li][pname] = eff[li][pname].at[rows].add(diff)
         elif not deterministic and pos == 5 and not self.both_layers:
             # BayesLSTM pos 5: whole-layer sample added to LAYER 2 weights

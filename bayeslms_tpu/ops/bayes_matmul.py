@@ -147,6 +147,40 @@ def _bayes_matmul_bwd(res, g):
 bayes_matmul.defvjp(_bayes_matmul_fwd, _bayes_matmul_bwd)
 
 
+@jax.custom_vjp
+def sample_noise(lgstd, seed):
+    """exp(lgstd) * eps with on-core PRNG noise (same per-tile stream as the
+    fused matmul). Differentiable: d/dlgstd = the noise itself. Used by the
+    Bayes-LSTM gate-slice sampling so the perturbation is generated on-chip
+    instead of via a jax.random normal + scale in HBM."""
+    return sample_weights(jnp.zeros_like(lgstd), lgstd, seed)
+
+
+def _sample_noise_fwd(lgstd, seed):
+    noise = sample_weights(jnp.zeros_like(lgstd), lgstd, seed)
+    return noise, noise
+
+
+def _sample_noise_bwd(noise, g):
+    return (g * noise, None)
+
+
+sample_noise.defvjp(_sample_noise_fwd, _sample_noise_bwd)
+
+
+def sample_noise_ok(shape) -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return (
+        platform in ("tpu", "axon")
+        and len(shape) == 2
+        and shape[0] % _BN == 0
+        and shape[1] % 128 == 0
+    )
+
+
 def _pick_bm(M: int) -> int:
     for bm in (512, 256, 128, 64, 32, 16, 8):
         if M % bm == 0:

@@ -137,3 +137,20 @@ def test_fused_decode_ce_train_grads_match_xla(monkeypatch):
     for a, b, name in zip(g1, g2, ("dh", "dE", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_sample_noise_grad(monkeypatch):
+    """sample_noise custom VJP: d/dlgstd == the noise itself (TPU-semantics
+    interpret mode; distribution moments are TPU-only — interpreted PRNG
+    bits are degenerate — and covered by tools/tpu_kernel_check.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from bayeslms_tpu.ops import bayes_matmul as bm
+
+    monkeypatch.setattr(bm, "_INTERPRET", pltpu.InterpretParams())
+    lgstd = jnp.asarray(np.full((128, 128), -0.7, np.float32))
+    seed = jnp.asarray([3], jnp.int32)
+
+    n = bm.sample_noise(lgstd, seed)
+    g = jax.grad(lambda lg: jnp.sum(bm.sample_noise(lg, seed) ** 2) / 2)(lgstd)
+    # d/dlgstd sum(n^2)/2 = n * dn/dlgstd = n * n
+    np.testing.assert_allclose(np.asarray(g), np.asarray(n) ** 2, rtol=1e-5)
