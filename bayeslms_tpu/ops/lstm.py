@@ -78,15 +78,26 @@ def lstm_layer(
     (+23% rescoring throughput on TPU v5e); opt out with
     BAYESLM_PALLAS_LSTM=0. Grad paths must keep the scan.
     """
-    if allow_pallas:
-        import os
+    import os
 
+    if allow_pallas:
         from .lstm_pallas import lstm_layer_pallas, pallas_lstm_ok
 
         if os.environ.get("BAYESLM_PALLAS_LSTM", "1") != "0" and pallas_lstm_ok(
             p.w_hh.shape[1], x.dtype
         ):
             return lstm_layer_pallas(
+                x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
+            )
+    else:
+        # Grad path: the custom-VJP fused recurrence keeps W_hh and the
+        # (dh, dc) carries VMEM-resident through a reverse-time kernel.
+        from .lstm_pallas import lstm_layer_pallas_train, pallas_lstm_ok
+
+        if os.environ.get("BAYESLM_PALLAS_LSTM_TRAIN", "1") != "0" and pallas_lstm_ok(
+            p.w_hh.shape[1], x.dtype
+        ):
+            return lstm_layer_pallas_train(
                 x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
             )
     dtype = x.dtype

@@ -140,6 +140,257 @@ def lstm_layer_pallas(
     )
 
 
+# =====================================================================
+# Training path: fused LSTM layer with a custom VJP (VERDICT item 10).
+#
+# The XLA scan's backward re-reads W_hh from HBM every timestep (like the
+# forward) and stores per-step residuals. Here forward ALSO emits the cell
+# sequence, and the backward walks time in REVERSE as a sequential pallas
+# grid with W_hh and the (dh, dc) carries VMEM-resident, recomputing the
+# gate activations from (xg_t, h_{t-1}) instead of storing them. The kernel
+# emits du (gate pre-activation grads); dW_hh / db_hh / dW_ih / db_ih / dx
+# reduce to large MXU matmuls OUTSIDE the kernel.
+# =====================================================================
+
+
+def _train_fwd_kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
+                      ys_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr,
+                      *, T: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    dtype = ys_ref.dtype
+    gates = (
+        xg_ref[0].astype(jnp.float32)
+        + jnp.dot(h.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0].astype(jnp.float32)
+    )
+    H = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    keep = mask_ref[0][:, :1].astype(jnp.float32)
+    h_new = keep * h_new + (1.0 - keep) * h
+    c_new = keep * c_new + (1.0 - keep) * c
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    ys_ref[0] = h_new.astype(dtype)
+    cs_ref[0] = c_new.astype(dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        hT_ref[:] = h_new.astype(dtype)
+        cT_ref[:] = c_new.astype(dtype)
+
+
+def _train_bwd_kernel(xg_ref, hprev_ref, cprev_ref, dy_ref, mask_ref,
+                      whh_ref, bhh_ref, dhT_ref, dcT_ref,
+                      du_ref, dh0_ref, dc0_ref, dh_scr, dc_scr, *, T: int):
+    tr = pl.program_id(0)  # 0..T-1 walking time BACKWARD (blocks map T-1-tr)
+
+    @pl.when(tr == 0)
+    def _():
+        dh_scr[:] = dhT_ref[:].astype(jnp.float32)
+        dc_scr[:] = dcT_ref[:].astype(jnp.float32)
+
+    dtype = du_ref.dtype
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    keep = mask_ref[0][:, :1].astype(jnp.float32)
+
+    # recompute this step's gate activations and candidate cell
+    gates = (
+        xg_ref[0].astype(jnp.float32)
+        + jnp.dot(h_prev.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh_ref[0].astype(jnp.float32)
+    )
+    H = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_cand = f * c_prev + i * g
+    tc = jnp.tanh(c_cand)
+
+    dh_tot = dh_scr[:] + dy_ref[0].astype(jnp.float32)
+    dc_tot = dc_scr[:]
+    dh_new = keep * dh_tot
+    dc_new = keep * dc_tot
+
+    do = dh_new * tc
+    dc_cand = dc_new + dh_new * o * (1.0 - tc * tc)
+    di = dc_cand * g
+    df = dc_cand * c_prev
+    dg = dc_cand * i
+    dc_prev = dc_cand * f + (1.0 - keep) * dc_tot
+
+    du = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+         do * o * (1.0 - o)], axis=-1,
+    )
+    # dh_prev: du @ W_hh (contract the 4H axis of the resident (H, 4H) block)
+    dh_prev = jax.lax.dot_general(
+        du.astype(dtype), whh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + (1.0 - keep) * dh_tot
+
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+    du_ref[0] = du.astype(dtype)
+
+    @pl.when(tr == T - 1)
+    def _():
+        dh0_ref[:] = dh_prev.astype(dtype)
+        dc0_ref[:] = dc_prev.astype(dtype)
+
+
+@jax.jit
+def _train_fwd_run(xg, w_hh_t, b_hh, mask, h0, c0):
+    T, B, G = xg.shape
+    H = G // 4
+    dtype = xg.dtype
+    return pl.pallas_call(
+        functools.partial(_train_fwd_kernel, T=T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(xg, w_hh_t, b_hh, mask, h0, c0)
+
+
+@jax.jit
+def _train_bwd_run(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT):
+    T, B, G = xg.shape
+    H = G // 4
+    dtype = xg.dtype
+    rev = lambda t: (T - 1 - t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_train_bwd_kernel, T=T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 8), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        # the resident (H, 4H) W_hh block gets double-buffered by the
+        # pipeline (8 MB x2 at H=1024), pushing past the default 16 MB
+        # scoped-vmem cap; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT)
+
+
+@jax.custom_vjp
+def lstm_scan_fused(xg, w_hh_t, b_hh2, mask, h0, c0):
+    """Differentiable fused LSTM recurrence over precomputed input
+    projections. xg: (T, B, 4H) = x@W_ih^T + b_ih; w_hh_t: (H, 4H);
+    b_hh2: (1, 4H); mask: (T, B, 8). Returns (ys, cs, hT, cT)."""
+    return _train_fwd_run(xg, w_hh_t, b_hh2, mask, h0, c0)
+
+
+def _lsf_fwd(xg, w_hh_t, b_hh2, mask, h0, c0):
+    ys, cs, hT, cT = _train_fwd_run(xg, w_hh_t, b_hh2, mask, h0, c0)
+    return (ys, cs, hT, cT), (xg, w_hh_t, b_hh2, mask, h0, c0, ys, cs)
+
+
+def _lsf_bwd(res, grads):
+    xg, w_hh_t, b_hh2, mask, h0, c0, ys, cs = res
+    dy, dcs, dhT, dcT = grads
+    # dcs (grad w.r.t. the cell sequence) is unused by all callers; fold any
+    # nonzero into nothing — callers must not consume cs. dy may be a zero
+    # cotangent object; normalize.
+    dy = jnp.zeros_like(ys) if dy is None else dy
+    dhT = jnp.zeros_like(ys[0]) if dhT is None else dhT
+    dcT = jnp.zeros_like(ys[0]) if dcT is None else dcT
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    du, dh0, dc0 = _train_bwd_run(
+        xg, hprev, cprev, dy, mask, w_hh_t, b_hh2, dhT, dcT
+    )
+    duf = du.astype(jnp.float32)
+    # dW_hh^T (H, 4H): gates += h_prev @ W_hh^T  =>  d(W_hh^T) = hprev^T @ du
+    T, B, G = du.shape
+    dw = (
+        hprev.reshape(T * B, -1).astype(jnp.float32).T @ duf.reshape(T * B, G)
+    ).astype(w_hh_t.dtype)
+    db = jnp.sum(duf, axis=(0, 1), keepdims=False).reshape(1, G).astype(b_hh2.dtype)
+    return du.astype(xg.dtype), dw, db, None, dh0.astype(h0.dtype), dc0.astype(c0.dtype)
+
+
+lstm_scan_fused.defvjp(_lsf_fwd, _lsf_bwd)
+
+
+def lstm_layer_pallas_train(
+    x, h0, c0, w_ih, w_hh, b_ih, b_hh, step_mask=None,
+):
+    """Differentiable fused LSTM layer (training path). Same contract as
+    ops.lstm.lstm_layer: (T, B, in) -> (T, B, H), hT, cT."""
+    dtype = x.dtype
+    T, B, _ = x.shape
+    H = w_hh.shape[1]
+    xg = (
+        x.reshape(T * B, -1) @ w_ih.T.astype(dtype) + b_ih.astype(dtype)
+    ).reshape(T, B, 4 * H)
+    m2 = step_mask if step_mask is not None else jnp.ones((T, B))
+    mask = jnp.broadcast_to(m2.astype(dtype)[:, :, None], (T, B, 8))
+    ys, _cs, hT, cT = lstm_scan_fused(
+        xg, w_hh.T.astype(dtype), b_hh.astype(dtype).reshape(1, 4 * H),
+        mask, h0.astype(dtype), c0.astype(dtype),
+    )
+    return ys, hT, cT
+
+
 def pallas_lstm_ok(nhid: int, dtype) -> bool:
     """Conservative availability gate: TPU backend + W_hh fits VMEM."""
     try:

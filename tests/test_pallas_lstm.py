@@ -40,3 +40,53 @@ def test_pallas_matches_scan(masked):
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_train_fused_grads_match_scan(monkeypatch):
+    """Custom-VJP fused LSTM layer: outputs and ALL grads (x, W_ih, W_hh,
+    b_ih, b_hh, h0, c0) match the XLA scan's autodiff, with and without a
+    step mask (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from bayeslms_tpu.ops import lstm_pallas as lp
+    from bayeslms_tpu.ops.lstm import LSTMParams, lstm_layer
+
+    monkeypatch.setattr(lp, "_INTERPRET", True)
+    rng = np.random.default_rng(5)
+    T, B, E, H = 7, 4, 8, 8
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w_ih = jnp.asarray(rng.normal(size=(4 * H, E)).astype(np.float32) * 0.3)
+    w_hh = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * 0.3)
+    b_ih = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1)
+    b_hh = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1)
+    dy = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    for mask in (None, jnp.asarray((rng.uniform(size=(T, B)) > 0.3).astype(np.float32))):
+        def loss_fused(x, w_ih, w_hh, b_ih, b_hh, h0, c0):
+            ys, hT, cT = lp.lstm_layer_pallas_train(
+                x, h0, c0, w_ih, w_hh, b_ih, b_hh, mask)
+            return jnp.sum(ys * dy) + jnp.sum(hT * 0.7) + jnp.sum(cT * 0.3)
+
+        def loss_scan(x, w_ih, w_hh, b_ih, b_hh, h0, c0):
+            p = LSTMParams(w_ih, w_hh, b_ih, b_hh)
+            ys, hT, cT = lstm_layer(x, h0, c0, p, step_mask=mask,
+                                    allow_pallas=False)
+            return jnp.sum(ys * dy) + jnp.sum(hT * 0.7) + jnp.sum(cT * 0.3)
+
+        # force the scan reference even off-TPU gating
+        import os
+        os.environ["BAYESLM_PALLAS_LSTM_TRAIN"] = "0"
+        v2, g2 = jax.value_and_grad(loss_scan, argnums=tuple(range(7)))(
+            x, w_ih, w_hh, b_ih, b_hh, h0, c0)
+        os.environ.pop("BAYESLM_PALLAS_LSTM_TRAIN", None)
+        v1, g1 = jax.value_and_grad(loss_fused, argnums=tuple(range(7)))(
+            x, w_ih, w_hh, b_ih, b_hh, h0, c0)
+
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        names = ("dx", "dw_ih", "dw_hh", "db_ih", "db_hh", "dh0", "dc0")
+        for a, b, name in zip(g1, g2, names):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5,
+                                       err_msg=f"{name} mask={mask is not None}")

@@ -19,18 +19,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # dependency-chained timing: block_until_ready returns early through the
-    # axon relay, so thread the output back in and fetch one scalar at the end
-    t0 = time.perf_counter()
-    x = args[0]
-    for _ in range(iters):
-        out = fn(x, *args[1:])
-        x = x + 0 * out  # serialize
-    float(jnp.sum(x[0, 0]))
-    return (time.perf_counter() - t0) / iters
+def bench(fn, args, n1=10, n2=410):
+    """Per-iteration time of fn via TWO in-jit dependency-chained loops of
+    different lengths: per-iter = (t(n2) - t(n1)) / (n2 - n1). This cancels
+    the fixed ~40 ms relay/fetch overhead, and warm-up completion is forced
+    with a SCALAR FETCH (block_until_ready returns early through the axon
+    relay and would leak compile time into the timed region)."""
+
+    def timed(iters):
+        @jax.jit
+        def loop(q, k, v):
+            def body(_, carry):
+                o = fn(carry, k, v)
+                return carry + jnp.asarray(1e-6, carry.dtype) * o
+
+            return jax.lax.fori_loop(0, iters, body, q)
+
+        float(jnp.sum(loop(*args)[0, 0].astype(jnp.float32)))  # compile+sync
+        t0 = time.perf_counter()
+        float(jnp.sum(loop(*args)[0, 0].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    t1, t2 = timed(n1), timed(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def main():
@@ -46,14 +57,12 @@ def main():
         v = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32)).astype(jnp.bfloat16)
         mask = causal_mask(T)
 
-        xla = jax.jit(
-            lambda q, k, v: multihead_attention(q, k, v, H, mask, causal=False)
-        )
-        pal = jax.jit(lambda q, k, v: causal_attention_pallas(q, k, v, H))
+        xla = lambda q, k, v: multihead_attention(q, k, v, H, mask, causal=False)
+        pal = lambda q, k, v: causal_attention_pallas(q, k, v, H)
 
         # correctness first
-        a = np.asarray(xla(q, k, v), np.float32)
-        b = np.asarray(pal(q, k, v), np.float32)
+        a = np.asarray(jax.jit(xla)(q, k, v), np.float32)
+        b = np.asarray(jax.jit(pal)(q, k, v), np.float32)
         err = np.abs(a - b).max()
 
         t_x = bench(xla, (q, k, v))
