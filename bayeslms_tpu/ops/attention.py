@@ -39,14 +39,15 @@ def multihead_attention(
 ) -> jax.Array:
     """Core scaled-dot-product attention over time-major projections.
 
-    ``causal=True`` + deterministic routes to the fused Pallas kernel when
-    enabled (BAYESLM_PALLAS_ATTN=1); training keeps the differentiable
-    einsum path.
+    ``causal=True`` + deterministic routes to the fused Pallas kernel —
+    default ON (measured on v5e, E=512/8 heads/B=20: parity at T=100,
+    1.46x at T=512, 2.27x at T=2048 vs the einsum path; opt out with
+    BAYESLM_PALLAS_ATTN=0). Training keeps the differentiable einsum path.
     """
     if causal and deterministic:
         import os
 
-        if os.environ.get("BAYESLM_PALLAS_ATTN") == "1":
+        if os.environ.get("BAYESLM_PALLAS_ATTN", "1") != "0":
             from .attention_pallas import causal_attention_pallas, pallas_attention_ok
 
             if pallas_attention_ok(q.shape[0], q.shape[2], nhead):
