@@ -441,3 +441,106 @@ def test_vlstm_legacy_golden(ref):
                         mutable=("losses",))[0], None
     got = got[0] if isinstance(got, tuple) else got
     np.testing.assert_allclose(np.asarray(got), out.numpy(), rtol=2e-4, atol=1e-5)
+
+
+# ----------------------------------------------- end-to-end scorer parity
+
+def test_scorer_golden_vs_reference_torch_loop(ref):
+    """The production scorer's batched, carry-over scores equal a
+    reference-style per-hypothesis torch loop (compute_sentence_scores_
+    bayes_jianwei.py:87-173, :261-274) running the reference's own
+    BayesRNNModel: '<s>' framing, score = sum of token CE, hidden carried
+    from the FIRST hypothesis of the previous utterance."""
+    from collections import OrderedDict
+
+    from bayeslms_tpu import RescoreConfig
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    torch.manual_seed(123)
+    tm = ref.BayesRNNModel("LSTM", V, E, H, 2, dropout=0.0, tie_weights=True,
+                           bayes_pos=2).eval()
+
+    words = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        words[f"w{i}"] = i
+    nbest = OrderedDict()
+    nbest["u1"] = ["w2 w3 w4", "w5 w6"]
+    nbest["u2"] = ["w7 w8 w9 w10", "w11"]
+    nbest["u3"] = ["w12 w13", "w14 w15 w16 w17 w18"]
+
+    # ---- reference-style loop (torch)
+    ce = torch.nn.CrossEntropyLoss(reduction="sum")
+    ref_scores = {}
+    h = tm.init_hidden(1)
+    carry = h
+    for utt, hyps in nbest.items():
+        for j, hyp in enumerate(hyps):
+            inp = ["<s>"] + hyp.split()
+            out = hyp.split() + ["<s>"]
+            x = torch.tensor([[words[w]] for w in inp])
+            y = torch.tensor([words[w] for w in out])
+            with torch.no_grad():
+                logits, new_h = tm(x, carry)
+            ref_scores[(utt, j)] = float(ce(logits.view(-1, V), y))
+            if j == 0:
+                next_carry = new_h
+        carry = next_carry
+
+    # ---- ours: batched + jitted with imported weights
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=E, nhid=H, dropout=0.0,
+                      uncertainty="Bayesian", l_bayes_pos=2)
+    model = build_model(cfg)
+    params, _, _ = _import_params(tm, cfg, model)
+    scorer = BatchScorer(cfg, params, RescoreConfig(carry_over=True, max_hyp_len=16))
+    got = scorer.score_nbest(nbest, words)
+    for utt, hyps in nbest.items():
+        for j in range(len(hyps)):
+            np.testing.assert_allclose(
+                got[utt][j][1], ref_scores[(utt, j)], rtol=2e-4,
+                err_msg=f"{utt} hyp {j}",
+            )
+
+
+def test_scorer_golden_transformer(ref):
+    """Bucketed transformer scoring == the reference torch model's per-hyp
+    scores (Bayes FFN container, eval mode)."""
+    from collections import OrderedDict
+
+    from bayeslms_tpu import RescoreConfig
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    torch.manual_seed(321)
+    tm = ref.BayesTransformerModel(V, E, HEADS, FF, 2, dropout=0.0,
+                                   tie_weights=True, bayes_pos="FFN").eval()
+    words = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        words[f"w{i}"] = i
+    nbest = OrderedDict()
+    nbest["u1"] = ["w2 w3 w4", "w5 w6 w7 w8 w9 w10 w11"]
+    nbest["u2"] = ["w12"]
+
+    ce = torch.nn.CrossEntropyLoss(reduction="sum")
+    ref_scores = {}
+    for utt, hyps in nbest.items():
+        for j, hyp in enumerate(hyps):
+            inp = ["<s>"] + hyp.split()
+            out = hyp.split() + ["<s>"]
+            x = torch.tensor([[words[w]] for w in inp])
+            y = torch.tensor([words[w] for w in out])
+            with torch.no_grad():
+                logits = tm(x)
+            ref_scores[(utt, j)] = float(ce(logits.view(-1, V), y))
+
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=E, nhid=FF,
+                      nlayers=2, nhead=HEADS, dropout=0.0,
+                      uncertainty="Bayesian", t_bayes_pos="FFN")
+    model = build_model(cfg)
+    params, _, _ = _import_params(tm, cfg, model)
+    scorer = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16))
+    got = scorer.score_nbest(nbest, words)
+    for utt, hyps in nbest.items():
+        for j in range(len(hyps)):
+            np.testing.assert_allclose(
+                got[utt][j][1], ref_scores[(utt, j)], rtol=2e-4,
+                err_msg=f"{utt} hyp {j}",
+            )
