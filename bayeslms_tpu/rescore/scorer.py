@@ -57,9 +57,16 @@ class BatchScorer:
         rcfg: RescoreConfig,
         cfg2: Optional[ModelConfig] = None,
         params2=None,
+        mesh=None,
     ):
+        """``mesh``: optional jax Mesh with a 'dp' axis — hypothesis batches
+        (and carry-over chains) shard over it, replacing the reference's
+        nj=5 process array with SPMD over ICI. Sharded mode keeps the
+        XLA compute paths (GSPMD partitions them natively; the opaque
+        pallas fast paths would force all-gathers)."""
         self.cfg = cfg
         self.rcfg = rcfg
+        self.mesh = mesh
         self.model = build_model(cfg)
         self.params = params
         self.interp = rcfg.inter_flag
@@ -83,6 +90,7 @@ class BatchScorer:
             and rcfg.mc_samples == 0
             and cfg.tied
             and fused_ce_ok(dim)
+            and mesh is None
         )
         if rcfg.mc_samples > 0:
             # MC-average inference draws posterior samples but must not
@@ -93,8 +101,26 @@ class BatchScorer:
             self._mc_step = jax.jit(self._mc_impl)
             if rcfg.carry_over and not cfg.is_transformer:
                 raise ValueError("mc_samples requires carry_over=False")
-        self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
-        self._bucket_step = jax.jit(self._bucket_chunk_impl)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert "dp" in mesh.axis_names, "scorer mesh needs a 'dp' axis"
+            self._dp = mesh.shape["dp"]
+            rep = NamedSharding(mesh, P())
+            b3 = NamedSharding(mesh, P(None, None, "dp"))  # (n|U, T, B) batches
+            h3 = NamedSharding(mesh, P(None, "dp", None))  # (L, G, H) carries
+            self._carry_step = jax.jit(
+                self._carry_chunk_impl, static_argnums=(8,),
+                in_shardings=(rep, rep, b3, b3, b3, b3, (h3, h3), (h3, h3)),
+            )
+            self._bucket_step = jax.jit(
+                self._bucket_chunk_impl,
+                in_shardings=(rep, rep, b3, b3, b3, b3),
+            )
+        else:
+            self._dp = 1
+            self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
+            self._bucket_step = jax.jit(self._bucket_chunk_impl)
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -376,7 +402,7 @@ class BatchScorer:
         scores: Dict[tuple, float] = {}
         p2 = self.params2 if self.interp else self.params
         for T, group in sorted(by_bucket.items()):
-            Bc = rc.batch_size
+            Bc = -(-rc.batch_size // self._dp) * self._dp  # divisible by dp
             n = (len(group) + Bc - 1) // Bc
             data = np.zeros((n, T, Bc), np.int32)
             tgt = np.zeros((n, T, Bc), np.int32)
@@ -400,12 +426,13 @@ class BatchScorer:
                 ]
                 out = np.stack([np.asarray(o) for o in outs])
             else:
-                out = np.asarray(
-                    self._bucket_step(
-                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
-                        jnp.asarray(mask), jnp.asarray(ce_mask),
-                    )
-                )  # (n, Bc)
+                with self._xla_only():
+                    out = np.asarray(
+                        self._bucket_step(
+                            self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
+                            jnp.asarray(mask), jnp.asarray(ce_mask),
+                        )
+                    )  # (n, Bc)
             for j in range(n):
                 chunk = group[j * Bc : (j + 1) * Bc]
                 for c, (key, i, _, _, _) in enumerate(chunk):
@@ -489,8 +516,12 @@ class BatchScorer:
         for k in keys:
             label = stream_fn(k) if stream_fn else "_all"
             streams.setdefault(label, []).append(k)
-        G = len(streams)
         stream_keys = list(streams.values())
+        # dp sharding splits the g-major column blocks: pad with empty
+        # chains (all-zero masks) so whole chains land on one shard
+        while len(stream_keys) % self._dp != 0:
+            stream_keys.append([])
+        G = len(stream_keys)
         U_total = max(len(s) for s in stream_keys)
 
         enc = {
@@ -532,11 +563,12 @@ class BatchScorer:
                     data[u, :, col], tgt[u, :, col] = d, t
                     mask[u, :, col], ce_mask[u, :, col] = m, cm
                     slot_key[(u, g)] = k
-            out, carry1, carry2 = self._carry_step(
-                self.params, self.params2 if self.interp else self.params,
-                jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                jnp.asarray(ce_mask), carry1, carry2, N,
-            )
+            with self._xla_only():
+                out, carry1, carry2 = self._carry_step(
+                    self.params, self.params2 if self.interp else self.params,
+                    jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
+                    jnp.asarray(ce_mask), carry1, carry2, N,
+                )
             out = np.asarray(out)  # (U, G*N)
             for (u, g), k in slot_key.items():
                 for i in range(len(nbest[k])):
@@ -545,6 +577,34 @@ class BatchScorer:
             # each chain's carried state stays exact across chunks.
 
         return self._assemble(nbest, scores)
+
+    def _xla_only(self):
+        """Under a mesh, disable the (opaque-to-GSPMD) pallas fast paths at
+        trace time so the step partitions instead of gathering. No-op on a
+        single device. Env gates are read when the per-instance jit traces;
+        caches keep the choice afterwards."""
+        import contextlib
+        import os as _os
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+
+        @contextlib.contextmanager
+        def ctx():
+            keys = ("BAYESLM_PALLAS_LSTM", "BAYESLM_PALLAS_ATTN")
+            old = {k: _os.environ.get(k) for k in keys}
+            for k in keys:
+                _os.environ[k] = "0"
+            try:
+                yield
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        _os.environ.pop(k, None)
+                    else:
+                        _os.environ[k] = v
+
+        return ctx()
 
     @staticmethod
     def _assemble(nbest, scores):

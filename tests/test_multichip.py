@@ -93,3 +93,47 @@ def test_trainer_fit_with_dp_shards(tmp_path):
     state, out = trainer.fit(TinyCorpus(), log=lambda *a: None)
     assert out["history"][-1]["val_loss"] < out["history"][0]["val_loss"]
     assert out["test_loss"] < math.log(20)
+
+
+def test_sharded_scorer_matches_single_device():
+    """BatchScorer over a dp=8 mesh reproduces single-device scores exactly,
+    in both the carry-over (chains sharded) and bucketed (batch sharded)
+    modes — the SPMD replacement for the reference's nj=5 process array."""
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    V = 32
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+
+    rng = np.random.default_rng(0)
+    nbest = OrderedDict()
+    for r in range(5):  # 5 recordings -> 5 chains (padded to 8)
+        for u in range(3):
+            k = f"rec{r}_utt{u}"
+            nbest[k] = [
+                " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(2, 9)))
+                for _ in range(4)
+            ]
+
+    stream = lambda k: k.split("_")[0]
+    mesh = make_mesh(dp=8, tp=1)
+
+    for rc in (RescoreConfig(carry_over=True, max_hyp_len=16),
+               RescoreConfig(carry_over=False, max_hyp_len=16, batch_size=16)):
+        single = BatchScorer(cfg, params, rc).score_nbest(nbest, w2i, stream_fn=stream)
+        sharded = BatchScorer(cfg, params, rc, mesh=mesh).score_nbest(
+            nbest, w2i, stream_fn=stream)
+        for k in nbest:
+            a = [s for _, s in single[k]]
+            b = [s for _, s in sharded[k]]
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=k)
