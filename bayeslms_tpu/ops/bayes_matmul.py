@@ -94,6 +94,9 @@ def _fwd_run(x, mean, lgstd, seed, bm: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        # f32 mean/lgstd tiles at large K double-buffer past the default
+        # 16 MB scoped-vmem cap (measured 22.1 MB at K=4096, bm=128)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, x, mean, lgstd)
 
@@ -115,6 +118,7 @@ def sample_weights(mean, lgstd, seed):
             out_specs=pl.BlockSpec((_BN, K), lambda j, s: (j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((N, K), mean.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=_INTERPRET,
     )(seed, mean, lgstd)
 

@@ -334,7 +334,7 @@ class Trainer:
         start_epoch = state.epoch + 1 if resumed is not None else 1
         if resumed is not None:
             log(f"resumed from epoch {state.epoch} (lr {state.lr})")
-        root_key = jax.random.key(tcfg.seed)
+        root_key = jax.random.key(tcfg.seed, impl=tcfg.rng_impl)
         history = []
         for epoch in range(start_epoch, tcfg.epochs + 1):
             state.epoch = epoch

@@ -32,16 +32,19 @@ def bench_model(name, cfg, steps=20):
     lr = jnp.asarray(0.1, jnp.float32)
     ks = jnp.asarray(0.01, jnp.float32)
 
+    impl = trainer.tcfg.rng_impl  # match fit()'s key implementation
     params, opt = state.params, state.opt_state
     # warmup/compile
-    out = trainer._train_step(params, opt, hidden, data, tgt, lr, ks, jax.random.key(0))
+    out = trainer._train_step(params, opt, hidden, data, tgt, lr, ks,
+                              jax.random.key(0, impl=impl))
     params, opt = out[0], out[1]
     float(out[3])
 
     t0 = time.perf_counter()
     for i in range(steps):
         out = trainer._train_step(
-            params, opt, hidden, data, tgt, lr, ks, jax.random.key(i + 1)
+            params, opt, hidden, data, tgt, lr, ks,
+            jax.random.key(i + 1, impl=impl)
         )
         params, opt = out[0], out[1]
     float(out[3])  # single sync at the end
