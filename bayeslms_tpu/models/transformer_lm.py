@@ -39,6 +39,7 @@ class MultiheadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic: bool = True, mem=None):
@@ -49,6 +50,7 @@ class MultiheadSelfAttention(nn.Module):
             3 * self.embed_dim,
             kernel_init=tinit.xavier_uniform(),
             bias_init=tinit.zeros(),
+            dtype=self.dtype,
             name="qkv_net",
         )
         q, k, v = jnp.split(qkv_net(x), 3, axis=-1)
@@ -65,6 +67,7 @@ class MultiheadSelfAttention(nn.Module):
             self.embed_dim,
             kernel_init=tinit.torch_linear_weight(self.embed_dim),
             bias_init=tinit.zeros(),
+            dtype=self.dtype,
             name="o_net",
         )(out)
 
@@ -77,11 +80,13 @@ class BayesMultiheadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         E = self.embed_dim
         kw = dict(
-            kernel_init=tinit.torch_linear_weight(E), bias_init=tinit.torch_linear_bias(E)
+            kernel_init=tinit.torch_linear_weight(E),
+            bias_init=tinit.torch_linear_bias(E), dtype=self.dtype,
         )
         self.q_net = nn.Dense(E, **kw)
         self.k_net = nn.Dense(E, **kw)
@@ -105,27 +110,37 @@ class StandardEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         d, ff = self.d_model, self.dim_feedforward
-        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout)
+        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout,
+                                                dtype=self.dtype)
         self.linear1 = nn.Dense(
-            ff, kernel_init=tinit.torch_linear_weight(d), bias_init=tinit.torch_linear_bias(d)
+            ff, kernel_init=tinit.torch_linear_weight(d),
+            bias_init=tinit.torch_linear_bias(d), dtype=self.dtype,
         )
         self.linear2 = nn.Dense(
-            d, kernel_init=tinit.torch_linear_weight(ff), bias_init=tinit.torch_linear_bias(ff)
+            d, kernel_init=tinit.torch_linear_weight(ff),
+            bias_init=tinit.torch_linear_bias(ff), dtype=self.dtype,
         )
+        # layer norms compute in f32 (promoted) for stable statistics; the
+        # output is cast back to the compute dtype
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
 
+    def _norm(self, norm, x):
+        y = norm(x)
+        return y if self.dtype is None else y.astype(self.dtype)
+
     def __call__(self, src, attn_mask=None, deterministic: bool = True, mem=None):
         src2 = self.self_attn(src, attn_mask, deterministic, mem=mem)
-        src = self.norm1(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm1, src + self.drop(src2, deterministic=deterministic))
         src2 = self.linear2(
             self.drop(jax.nn.gelu(self.linear1(src), approximate=False), deterministic=deterministic)
         )
-        src = self.norm2(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm2, src + self.drop(src2, deterministic=deterministic))
         return src
 
 
@@ -138,35 +153,44 @@ class BayesEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     bayes_pos: str = "FFN"
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         d, ff = self.d_model, self.dim_feedforward
         if self.bayes_pos == "MHA":
-            self.self_attn = BayesMultiheadSelfAttention(d, self.nhead, self.dropout)
+            self.self_attn = BayesMultiheadSelfAttention(d, self.nhead, self.dropout,
+                                                         dtype=self.dtype)
         else:
-            self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout)
+            self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout,
+                                                    dtype=self.dtype)
         self.linear1 = nn.Dense(
-            ff, kernel_init=tinit.torch_linear_weight(d), bias_init=tinit.torch_linear_bias(d)
+            ff, kernel_init=tinit.torch_linear_weight(d),
+            bias_init=tinit.torch_linear_bias(d), dtype=self.dtype,
         )
         if self.bayes_pos == "FFN":
             self.linear2 = BayesDense(ff, d)
         else:
             self.linear2 = nn.Dense(
-                d, kernel_init=tinit.torch_linear_weight(ff), bias_init=tinit.torch_linear_bias(ff)
+                d, kernel_init=tinit.torch_linear_weight(ff),
+                bias_init=tinit.torch_linear_bias(ff), dtype=self.dtype,
             )
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
 
+    def _norm(self, norm, x):
+        y = norm(x)
+        return y if self.dtype is None else y.astype(self.dtype)
+
     def __call__(self, src, attn_mask=None, deterministic: bool = True):
         src2 = self.self_attn(src, attn_mask, deterministic)
-        src = self.norm1(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm1, src + self.drop(src2, deterministic=deterministic))
         mid = self.drop(jax.nn.gelu(self.linear1(src), approximate=False), deterministic=deterministic)
         if self.bayes_pos == "FFN":
             src2 = self.linear2(mid, deterministic=deterministic)
         else:
             src2 = self.linear2(mid)
-        src = self.norm2(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm2, src + self.drop(src2, deterministic=deterministic))
         return src
 
     def kl(self):
@@ -190,10 +214,12 @@ class GaussEncoderLayer(nn.Module):
     dropout: float = 0.1
     gauss_pos: int = 3
     sample_enabled: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         d, ff = self.d_model, self.dim_feedforward
-        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout)
+        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout,
+                                                dtype=self.dtype)
         acts = ("tanh", "sigmoid", "relu", "gelu")
         if 0 <= self.gauss_pos <= 3:
             self.gpnn = GPNN(d, ff, act_set=acts, gpnn_type=self.gauss_pos,
@@ -201,18 +227,23 @@ class GaussEncoderLayer(nn.Module):
         else:
             self.gpnn = GPNN2(d, ff, act_set=acts)
         self.linear2 = nn.Dense(
-            d, kernel_init=tinit.torch_linear_weight(ff), bias_init=tinit.torch_linear_bias(ff)
+            d, kernel_init=tinit.torch_linear_weight(ff),
+            bias_init=tinit.torch_linear_bias(ff), dtype=self.dtype,
         )
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
 
+    def _norm(self, norm, x):
+        y = norm(x)
+        return y if self.dtype is None else y.astype(self.dtype)
+
     def __call__(self, src, attn_mask=None, deterministic: bool = True):
         src2 = self.self_attn(src, attn_mask, deterministic)
-        src = self.norm1(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm1, src + self.drop(src2, deterministic=deterministic))
         gp_out = self.gpnn(src, deterministic=deterministic)
         src2 = self.linear2(self.drop(gp_out, deterministic=deterministic))
-        src = self.norm2(src + self.drop(src2, deterministic=deterministic))
+        src = self._norm(self.norm2, src + self.drop(src2, deterministic=deterministic))
         return src
 
     def kl(self):
@@ -236,15 +267,19 @@ class VEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     v_seq_len: int = 100
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         d, ff = self.d_model, self.dim_feedforward
-        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout)
+        self.self_attn = MultiheadSelfAttention(d, self.nhead, self.dropout,
+                                                dtype=self.dtype)
         self.linear1 = nn.Dense(
-            ff, kernel_init=tinit.torch_linear_weight(d), bias_init=tinit.torch_linear_bias(d)
+            ff, kernel_init=tinit.torch_linear_weight(d),
+            bias_init=tinit.torch_linear_bias(d), dtype=self.dtype,
         )
         self.linear2 = nn.Dense(
-            d, kernel_init=tinit.torch_linear_weight(ff), bias_init=tinit.torch_linear_bias(ff)
+            d, kernel_init=tinit.torch_linear_weight(ff),
+            bias_init=tinit.torch_linear_bias(ff), dtype=self.dtype,
         )
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
@@ -259,6 +294,8 @@ class VEncoderLayer(nn.Module):
     def __call__(self, src, attn_mask=None, deterministic: bool = True, count_kl: bool = False):
         src2 = self.self_attn(src, attn_mask, deterministic)
         src = self.norm1(src + self.drop(src2, deterministic=deterministic))
+        if self.dtype is not None:
+            src = src.astype(self.dtype)
         src2 = self.linear2(
             self.drop(jax.nn.gelu(self.linear1(src), approximate=False), deterministic=deterministic)
         )
@@ -311,13 +348,16 @@ class TransformerLM(nn.Module):
         self.drop = nn.Dropout(cfg.dropout)
         self.pe = sinusoidal_positional_encoding(5000, E)
 
-        std = lambda: StandardEncoderLayer(E, cfg.nhead, ff, cfg.dropout)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        ldt = None if cdt == jnp.float32 else cdt  # None = flax promotion (f32)
+        std = lambda: StandardEncoderLayer(E, cfg.nhead, ff, cfg.dropout, dtype=ldt)
         layers = []
         u = cfg.uncertainty
         if u == "none" or (u == "Bayesian" and cfg.t_bayes_pos in ("none", "EMB")):
             layers = [std() for _ in range(n)]
         elif u == "Bayesian":
-            layers = [BayesEncoderLayer(E, cfg.nhead, ff, 0.2, cfg.t_bayes_pos)]
+            layers = [BayesEncoderLayer(E, cfg.nhead, ff, 0.2, cfg.t_bayes_pos,
+                                        dtype=ldt)]
             layers += [std() for _ in range(n - 1)]
         elif u == "Gaussian":
             if cfg.t_gauss_pos > 4:
@@ -325,13 +365,15 @@ class TransformerLM(nn.Module):
             else:
                 layers = [
                     GaussEncoderLayer(
-                        E, cfg.nhead, ff, cfg.dropout, cfg.t_gauss_pos, cfg.gp_sample
+                        E, cfg.nhead, ff, cfg.dropout, cfg.t_gauss_pos, cfg.gp_sample,
+                        dtype=ldt,
                     )
                 ]
                 layers += [std() for _ in range(n - 1)]
         elif u == "Variational":
             v = cfg.t_v_pos
-            mk_v = lambda: VEncoderLayer(E, cfg.nhead, ff, cfg.dropout, cfg.v_seq_len)
+            mk_v = lambda: VEncoderLayer(E, cfg.nhead, ff, cfg.dropout, cfg.v_seq_len,
+                                         dtype=ldt)
             if v == 0:
                 layers = [std() for _ in range(n)]
             elif v == 1:
