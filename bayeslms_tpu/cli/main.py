@@ -65,7 +65,8 @@ def cmd_train(args) -> int:
         lr=args.lr, batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
         epochs=args.epochs, seq_len=args.seq_len, clip=args.clip, seed=args.seed,
         log_interval=args.log_interval, data_fraction=args.data_fraction,
-        prior=args.prior, prior_path=args.prior_path, save=args.save,
+        prior=args.prior, prior_path=args.prior_path, prior_kl=args.prior_kl,
+        save=args.save, rng_impl=args.rng_impl,
     )
     trainer = Trainer(cfg, tcfg)
     _, out = trainer.fit(corpus)
@@ -196,6 +197,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference --mark base-0.Xset ablations")
     t.add_argument("--prior", action="store_true")
     t.add_argument("--prior_path", default=None)
+    t.add_argument("--prior_kl", action="store_true",
+                   help="regularize posterior means toward the prior ckpt "
+                        "(reference kl_divergence(prior) branch)")
+    t.add_argument("--rng-impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG for dropout/sampling keys; rbg = TPU-native")
     t.add_argument("--save", default="model.ckpt")
     t.set_defaults(fn=cmd_train)
 
