@@ -146,6 +146,40 @@ class BatchScorer:
         ce = fused_decode_ce(h, params["embedding"], params["decoder_b"], tgt)
         return (ce * mask).sum(axis=0)
 
+    # -- padding-free decode: the vocabulary projection dominates rescoring
+    # cost and the padded (T_bucket, B) layout scores ~3-4x more tokens than
+    # exist. The host knows the masks, so it sends gather indices of the
+    # REAL positions (idx), their weights (w, zeros in the padded tail), and
+    # their per-hypothesis segment ids (seg); the kernel scores only those
+    # tokens and a segment-sum assembles per-hypothesis scores.
+    def _fused_scores_packed(self, params, flat_h, flat_tgt, idx, w, seg, n_seg: int):
+        from ..ops.ce_pallas import fused_decode_ce
+
+        hsel = jnp.take(flat_h, idx, axis=0)
+        tsel = jnp.take(flat_tgt, idx, axis=0)
+        ce = fused_decode_ce(hsel, params["embedding"], params["decoder_b"], tsel)
+        return jax.ops.segment_sum(ce * w, seg, num_segments=n_seg)
+
+    @staticmethod
+    def _pack_indices(ce_mask):
+        """Host-side gather plan for a (R, T, C) ce_mask (R chunk rows, T
+        time, C hypothesis columns; flat C-order matches the device-side
+        reshape). Returns (idx, w, seg) padded to a power-of-two bucket
+        (bounded jit cache) — padded entries carry weight 0 and segment 0."""
+        R, T, C = ce_mask.shape
+        r, t, c = np.nonzero(ce_mask)
+        n = len(r)
+        # bucket K (jit cache key): multiples of 8k, 512 floor
+        K = max(512, -(-n // 8192) * 8192) if n > 512 else 512
+        K = min(max(K, n), R * T * C)
+        idx = np.zeros((K,), np.int32)
+        wgt = np.zeros((K,), np.float32)
+        seg = np.zeros((K,), np.int32)
+        idx[:n] = (r * T + t) * C + c
+        wgt[:n] = ce_mask[r, t, c]
+        seg[:n] = r * C + c
+        return idx, wgt, seg
+
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
         if self.use_fused_ce:
@@ -336,12 +370,13 @@ class BatchScorer:
                 last[label] = enc[0][0][: rc.max_hyp_len]
         return self._assemble(nbest, scores)
 
-    def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask):
+    def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
+                           idx=None, w=None, seg=None):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
-        device call (host round trips cost ~25 ms each through the tunnel)."""
+        device call (host round trips cost ~25 ms each through the tunnel).
+        ``idx/w/seg``: host-computed gather plan of the real token positions
+        (fused path only) so the vocab projection never scores padding."""
         if self.use_fused_ce:
-            from ..ops.ce_pallas import fused_decode_ce
-
             if self.is_tm:
                 def body(_, inp):
                     d, t, m, cm = inp
@@ -363,8 +398,12 @@ class BatchScorer:
                     return None, h
 
             _, hs = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
-            ce = fused_decode_ce(hs, params["embedding"], params["decoder_b"], tgt)
-            return (ce * ce_mask).sum(axis=1)  # (n, B)
+            n, _, B = tgt.shape
+            scores = self._fused_scores_packed(
+                params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
+                idx, w, seg, n * B,
+            )
+            return scores.reshape(n, B)
         if self.is_tm:
             def body(_, inp):
                 d, t, m, cm = inp
@@ -426,11 +465,15 @@ class BatchScorer:
                 ]
                 out = np.stack([np.asarray(o) for o in outs])
             else:
+                extra = ()
+                if self.use_fused_ce:
+                    pidx, pw, pseg = self._pack_indices(ce_mask)
+                    extra = (jnp.asarray(pidx), jnp.asarray(pw), jnp.asarray(pseg))
                 with self._xla_only():
                     out = np.asarray(
                         self._bucket_step(
                             self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
-                            jnp.asarray(mask), jnp.asarray(ce_mask),
+                            jnp.asarray(mask), jnp.asarray(ce_mask), *extra,
                         )
                     )  # (n, Bc)
             for j in range(n):
@@ -447,9 +490,11 @@ class BatchScorer:
     # sub-ms per-utterance compute. Utterances are padded to a common
     # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
     # carried hidden exact at each hypothesis's true length.
-    def _carry_chunk_impl(self, params, params2, data, tgt, mask, ce_mask, h1, h2, N: int):
+    def _carry_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
+                          h1, h2, N: int, idx=None, w=None, seg=None):
         """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
-        parallel chains of N hypotheses; h1/h2: (layers, G, H) carried."""
+        parallel chains of N hypotheses; h1/h2: (layers, G, H) carried;
+        idx/w/seg: real-token gather plan (fused decode path)."""
         L = h1[0].shape[0]
         G = h1[0].shape[1]
         H = h1[0].shape[2]
@@ -472,7 +517,10 @@ class BatchScorer:
             # Collect pre-decoder states inside the scan; decode+CE happens
             # ONCE per chunk with the fused Pallas kernel OUTSIDE the scan
             # (a pallas call inside a large scan body explodes remote-compile
-            # time). Hidden stack: (U, T, G*N, H) bf16.
+            # time), and only over the REAL token positions (idx/w/seg
+            # gather plan) — the vocab projection dominates rescoring cost
+            # and padded layouts otherwise score ~3-4x more tokens than
+            # exist. Hidden stack: (U, T, G*N, H) bf16.
             def per_utt_h(carry, inp):
                 c1, c2 = carry
                 d_t, t_t, m_t, cm_t = inp
@@ -485,10 +533,11 @@ class BatchScorer:
             (h1, h2), hs = jax.lax.scan(
                 per_utt_h, (h1, h2), (data, tgt, mask, ce_mask)
             )
-            from ..ops.ce_pallas import fused_decode_ce
-
-            ce = fused_decode_ce(hs, params["embedding"], params["decoder_b"], tgt)
-            scores = (ce * ce_mask).sum(axis=1)  # (U, G*N)
+            U, _, GN = tgt.shape
+            scores = self._fused_scores_packed(
+                params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
+                idx, w, seg, U * GN,
+            ).reshape(U, GN)
             return scores, h1, h2
 
         def per_utt(carry, inp):
@@ -563,11 +612,15 @@ class BatchScorer:
                     data[u, :, col], tgt[u, :, col] = d, t
                     mask[u, :, col], ce_mask[u, :, col] = m, cm
                     slot_key[(u, g)] = k
+            extra = ()
+            if self.use_fused_ce:
+                pidx, pw, pseg = self._pack_indices(ce_mask)
+                extra = (jnp.asarray(pidx), jnp.asarray(pw), jnp.asarray(pseg))
             with self._xla_only():
                 out, carry1, carry2 = self._carry_step(
                     self.params, self.params2 if self.interp else self.params,
                     jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                    jnp.asarray(ce_mask), carry1, carry2, N,
+                    jnp.asarray(ce_mask), carry1, carry2, N, *extra,
                 )
             out = np.asarray(out)  # (U, G*N)
             for (u, g), k in slot_key.items():

@@ -152,3 +152,50 @@ def test_parallel_streams_match_per_stream_chains():
             for (h1, s1), (h2, s2) in zip(want[k], got[k]):
                 assert h1 == h2
                 np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=1e-4)
+
+
+def test_packed_fused_decode_matches_xla_path(monkeypatch):
+    """The padding-free fused decode (real-token gather + segment-sum) gives
+    the same scores as the plain XLA path, carry and bucketed modes
+    (interpret-mode pallas)."""
+    from collections import OrderedDict
+
+    import jax.numpy as jnp
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.ops import ce_pallas as cp
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(1)
+    nbest = OrderedDict()
+    for u in range(4):
+        nbest[f"u{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(2, 10)))
+            for _ in range(3)
+        ]
+
+    for rc in (RescoreConfig(carry_over=True, max_hyp_len=16),
+               RescoreConfig(carry_over=False, max_hyp_len=16, batch_size=8)):
+        plain = BatchScorer(cfg, params, rc)
+        assert not plain.use_fused_ce  # CPU platform gate
+        ref = plain.score_nbest(nbest, w2i)
+
+        fused = BatchScorer(cfg, params, rc)
+        fused.use_fused_ce = True  # force the packed path under interpret
+        got = fused.score_nbest(nbest, w2i)
+        for k in nbest:
+            np.testing.assert_allclose(
+                [s for _, s in got[k]], [s for _, s in ref[k]],
+                rtol=1e-4, atol=1e-5, err_msg=k,
+            )
