@@ -1,0 +1,383 @@
+"""End-to-end WER-parity harness vs the reference's own rescoring algorithm.
+
+Ready-to-run and fetch-free (VERDICT round-1, weak item #8): no AMI data is
+needed. The harness
+
+  1. generates an AMI-shaped synthetic decode — multi-meeting reference
+     transcripts, per-utterance confusion-network lattices with graph and
+     acoustic costs, and a backoff bigram ARPA LM estimated from the
+     transcripts;
+  2. instantiates the reference's OWN torch container
+     (/root/reference/steps/pytorchnn/model.py BayesRNNModel) with seeded
+     weights and imports its state_dict into this framework;
+  3. runs the FULL TPU-native pipeline (rescore.pipeline.run_pipeline: C++
+     lattice_to_nbest -> C++ arpa_score -> int2sym -> batched jitted
+     BatchScorer with exact carry-over -> interpolation -> C++ WER sweep);
+  4. re-runs the reference's algorithm end to end in pure torch/python from
+     the SAME stage-1 N-best archives (the N-best extraction itself is
+     exact-order tested in tests/test_tools_cpp.py; the reference used
+     external Kaldi binaries for that stage): per-hypothesis batch-1 scoring
+     loop with '<s>' framing and first-hypothesis hidden carry-over
+     (compute_sentence_scores_bayes_jianwei.py:87-173, :261-274), an
+     independent pure-python ARPA backoff scorer, the awk interpolation
+     lm = nolm + w*nn + (1-w)*ngram (lmrescore_nbest_pytorchnn_cuda.sh:221-229),
+     the per-LMWT best-hypothesis pick (local/score_asclite.sh:10-11 sweep),
+     and an independent python Levenshtein WER;
+  5. asserts per-hypothesis NN-score parity, old-LM score parity (C++
+     arpa_score vs the python scorer), identical picked hypotheses at every
+     LMWT, and identical WER across the sweep.
+
+Run:  python tools/wer_parity_harness.py [--utts-per-meeting 8] [--meetings 3]
+Exits nonzero (with a diff report) on any parity violation; prints one JSON
+summary line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import math
+import os
+import sys
+import tempfile
+from collections import OrderedDict
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+REF_MODEL = "/root/reference/steps/pytorchnn/model.py"
+
+
+# --------------------------------------------------------------------------
+# synthetic decode generation
+# --------------------------------------------------------------------------
+
+def make_vocab(n_words: int):
+    words = ["<eps>", "<s>", "<unk>"] + [f"w{i}" for i in range(3, n_words)]
+    return words, {w: i for i, w in enumerate(words)}
+
+
+def make_decode(tmp: str, *, meetings: int, utts_per_meeting: int,
+                vocab_words: int, seed: int):
+    """Reference transcripts + confusion-network lattices + bigram ARPA."""
+    rng = np.random.default_rng(seed)
+    words, w2i = make_vocab(vocab_words)
+    content = words[3:]
+
+    refs = OrderedDict()
+    lat_lines = []
+    for m in range(meetings):
+        for u in range(utts_per_meeting):
+            utt = f"meet{m}_utt{u:02d}"
+            L = int(rng.integers(3, 9))
+            truth = [content[int(i)] for i in rng.integers(0, len(content), L)]
+            refs[utt] = truth
+            # sausage lattice: per slot, the truth word plus 1-2 confusable
+            # alternatives; costs such that the lattice sometimes prefers a
+            # wrong word (the NN+ngram rescoring has decisions to make).
+            lat_lines.append(utt)
+            for t, w in enumerate(truth):
+                arcs = [w] + [content[int(i)]
+                              for i in rng.integers(0, len(content),
+                                                    int(rng.integers(1, 3)))]
+                for a in dict.fromkeys(arcs):  # dedup, keep order
+                    g = float(rng.uniform(0.0, 2.0))
+                    ac = float(rng.uniform(0.0, 20.0))
+                    if a == w:  # truth arc: usually but not always cheapest
+                        g *= 0.6
+                        ac *= 0.6
+                    lat_lines.append(f"{t} {t + 1} {w2i[a]} {g:.4f},{ac:.4f}")
+            lat_lines.append(str(len(truth)))
+            lat_lines.append("")
+
+    words_txt = os.path.join(tmp, "words.txt")
+    with open(words_txt, "w") as f:
+        for i, w in enumerate(words):
+            f.write(f"{w} {i}\n")
+    lats = os.path.join(tmp, "lats.txt")
+    with open(lats, "w") as f:
+        f.write("\n".join(lat_lines) + "\n")
+    ref_text = os.path.join(tmp, "ref.txt")
+    with open(ref_text, "w") as f:
+        for utt, t in refs.items():
+            f.write(utt + " " + " ".join(t) + "\n")
+
+    arpa = os.path.join(tmp, "lm.arpa")
+    write_bigram_arpa(arpa, list(refs.values()), content)
+    return words, w2i, words_txt, lats, ref_text, arpa, refs
+
+
+def write_bigram_arpa(path: str, sents, content):
+    """Tiny add-one backoff bigram LM over the transcripts (log10 probs)."""
+    uni = {w: 1.0 for w in content + ["<s>", "</s>", "<unk>"]}
+    bi = {}
+    for s in sents:
+        seq = ["<s>"] + s + ["</s>"]
+        for w in s:
+            uni[w] += 1.0
+        for a, b in zip(seq, seq[1:]):
+            bi[(a, b)] = bi.get((a, b), 0.0) + 1.0
+    tot = sum(uni.values())
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(uni)}\n")
+        f.write(f"ngram 2={len(bi)}\n\n\\1-grams:\n")
+        for w, c in uni.items():
+            bow = "\t-0.30103" if w != "</s>" else ""
+            f.write(f"{math.log10(c / tot):.6f}\t{w}{bow}\n")
+        f.write("\n\\2-grams:\n")
+        ctx_tot = {}
+        for (a, _), c in bi.items():
+            ctx_tot[a] = ctx_tot.get(a, 0.0) + c
+        for (a, b), c in bi.items():
+            f.write(f"{math.log10(0.8 * c / ctx_tot[a]):.6f}\t{a} {b}\n")
+        f.write("\n\\end\\\n")
+
+
+# --------------------------------------------------------------------------
+# reference-side algorithm (pure torch/python)
+# --------------------------------------------------------------------------
+
+class PyArpa:
+    """Independent backoff ARPA scorer (log-e per-sentence scores like
+    arpa_score: -(sum log10 p) * ln 10 over words + </s>, <s> as context)."""
+
+    def __init__(self, path: str):
+        self.lp = {}
+        self.bow = {}
+        order = 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("\\") and "-grams:" in line:
+                    order = int(line[1])
+                    continue
+                if not line or line.startswith(("\\", "ngram")):
+                    continue
+                parts = line.split("\t")
+                gram = tuple(parts[1].split())
+                assert len(gram) == order
+                self.lp[gram] = float(parts[0])
+                if len(parts) > 2:
+                    self.bow[gram] = float(parts[2])
+
+    def word_logp(self, ctx, w):
+        if ctx and (ctx, w) in self.lp:
+            return self.lp[(ctx, w)]
+        bow = self.bow.get((ctx,), 0.0) if ctx else 0.0
+        if (w,) in self.lp:
+            return bow + self.lp[(w,)]
+        return bow + self.lp.get(("<unk>",), -99.0)
+
+    def sentence_cost(self, words):
+        """Kaldi-convention cost: -ln P(sentence)."""
+        total, ctx = 0.0, "<s>"
+        for w in list(words) + ["</s>"]:
+            ww = w if (w,) in self.lp else "<unk>"
+            total += self.word_logp(ctx, ww)
+            ctx = ww
+        return -total * math.log(10.0)
+
+
+def levenshtein(ref, hyp):
+    n, m = len(ref), len(hyp)
+    d = np.zeros((n + 1, m + 1), np.int32)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]))
+    return int(d[n, m])
+
+
+def reference_nn_scores(tm, nbest, w2i):
+    """The reference scorer's per-hypothesis batch-1 loop with hidden carried
+    from the FIRST hypothesis of the previous utterance
+    (compute_sentence_scores_bayes_jianwei.py:87-173, :261-274)."""
+    import torch
+
+    ce = torch.nn.CrossEntropyLoss(reduction="sum")
+    unk = w2i["<unk>"]
+    scores = {}
+    carry = tm.init_hidden(1)
+    for utt, hyps in nbest.items():
+        next_carry = carry
+        for j, hyp in enumerate(hyps):
+            inp = ["<s>"] + hyp.split()
+            out = hyp.split() + ["<s>"]
+            x = torch.tensor([[w2i.get(w, unk)] for w in inp])
+            y = torch.tensor([w2i.get(w, unk) for w in out])
+            with torch.no_grad():
+                logits, new_h = tm(x, carry)
+            scores[f"{utt}-{j + 1}"] = float(
+                ce(logits.view(-1, logits.shape[-1]), y))
+            if j == 0:
+                next_carry = new_h
+        carry = next_carry
+    return scores
+
+
+def reference_pipeline(workdir, nbest, tm, w2i, arpa_path, refs, nn_weight,
+                       lmwt_range):
+    """lm = nolm + w*nn + (1-w)*ngram; pick argmin(lm + ac/lmwt) per utt per
+    LMWT; python-Levenshtein WER (the awk + sweep stages of the reference)."""
+    withlm = {k: float(v) for k, v in
+              (l.split() for l in open(os.path.join(workdir, "lmwt.withlm")))}
+    ac = {k: float(v) for k, v in
+          (l.split() for l in open(os.path.join(workdir, "acwt")))}
+    texts = {}
+    for line in open(os.path.join(workdir, "words.txt")):
+        parts = line.split()
+        texts[parts[0]] = parts[1:]
+
+    py_arpa = PyArpa(arpa_path)
+    lmonly = {k: py_arpa.sentence_cost(t) for k, t in texts.items()}
+    nn = reference_nn_scores(tm, nbest, w2i)
+
+    w = nn_weight
+    lm_final = {k: (withlm[k] - lmonly[k]) + w * nn[k] + (1.0 - w) * lmonly[k]
+                for k in withlm}
+    picks, wers = {}, {}
+    n_ref_words = sum(len(t) for t in refs.values())
+    for lmwt in lmwt_range:
+        best = {}
+        for k, v in lm_final.items():
+            utt = k[: k.rfind("-")]
+            tot = v + ac[k] / lmwt
+            if utt not in best or tot < best[utt][0]:
+                best[utt] = (tot, k)
+        picks[lmwt] = {u: k for u, (_, k) in best.items()}
+        errs = sum(levenshtein(refs[u], texts[k]) for u, k in picks[lmwt].items())
+        wers[lmwt] = round(100.0 * errs / n_ref_words, 2)
+    return nn, lmonly, lm_final, picks, wers
+
+
+# --------------------------------------------------------------------------
+# harness driver
+# --------------------------------------------------------------------------
+
+def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
+        nn_weight=0.8, emsize=16, nhid=16, workdir=None, verbose=True):
+    import subprocess
+
+    import torch
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.core.checkpoint import import_torch_state_dict, partial_update
+    from bayeslms_tpu.rescore.nbest import load_nbest
+    from bayeslms_tpu.rescore.pipeline import run_pipeline
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    subprocess.run(["make", "-C", os.path.join(ROOT, "tools")], check=True,
+                   capture_output=True)
+
+    tmp = workdir or tempfile.mkdtemp(prefix="wer_parity_")
+    words, w2i, words_txt, lats, ref_text, arpa, refs = make_decode(
+        tmp, meetings=meetings, utts_per_meeting=utts_per_meeting,
+        vocab_words=vocab_words, seed=seed)
+
+    # the reference's own container, seeded
+    spec = importlib.util.spec_from_file_location("ref_model", REF_MODEL)
+    ref_mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("ref_model", ref_mod)
+    spec.loader.exec_module(ref_mod)
+    torch.manual_seed(seed + 1)
+    tm = ref_mod.BayesRNNModel("LSTM", len(words), emsize, nhid, 2,
+                               dropout=0.0, tie_weights=True, bayes_pos=2).eval()
+
+    cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
+                      nhid=nhid, dropout=0.0, uncertainty="Bayesian",
+                      l_bayes_pos=2)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = partial_update(params, import_torch_state_dict(sd, cfg))
+
+    rcfg = RescoreConfig(nbest=10, nn_weight=nn_weight, carry_over=True,
+                         max_hyp_len=32, min_lmwt=7, max_lmwt=15)
+    scorer = BatchScorer(cfg, params, rcfg)
+
+    wd = os.path.join(tmp, "ours")
+    res = run_pipeline(lats, words_txt, scorer, w2i, wd, rcfg,
+                       arpa_lm=arpa, ref_text=ref_text)
+
+    # reference algorithm from the same stage-1 archives
+    nbest = load_nbest(os.path.join(wd, "words.txt"))
+    lmwt_range = range(rcfg.min_lmwt, rcfg.max_lmwt + 1)
+    ref_nn, ref_lmonly, ref_lm, ref_picks, ref_wers = reference_pipeline(
+        wd, nbest, tm, w2i, arpa, refs, nn_weight, lmwt_range)
+
+    failures = []
+
+    # (a) per-hypothesis NN scores: batched jitted scorer vs torch loop
+    our_nn = {f"{k}-{i + 1}": s for k, pairs in
+              scorer.score_nbest(nbest, w2i).items()
+              for i, (_, s) in enumerate(pairs)}
+    for k, v in ref_nn.items():
+        if not np.isclose(our_nn[k], v, rtol=5e-4, atol=1e-4):
+            failures.append(f"nn score {k}: ours {our_nn[k]:.6f} ref {v:.6f}")
+
+    # (b) old-LM scores: C++ arpa_score vs python backoff scorer
+    cpp_lmonly = {k: float(v) for k, v in
+                  (l.split() for l in open(os.path.join(wd, "lmwt.lmonly")))}
+    for k, v in ref_lmonly.items():
+        if not np.isclose(cpp_lmonly[k], v, rtol=1e-5, atol=1e-5):
+            failures.append(f"arpa {k}: cpp {cpp_lmonly[k]:.6f} py {v:.6f}")
+
+    # (c) picked hypotheses per LMWT
+    for lmwt in lmwt_range:
+        our_hyps = {}
+        for line in open(os.path.join(wd, f"hyp.lmwt{lmwt}.txt")):
+            parts = line.split()
+            our_hyps[parts[0]] = parts[1:]
+        for utt, k in ref_picks[lmwt].items():
+            ref_hyp = nbest[utt][int(k.rsplit("-", 1)[1]) - 1].split()
+            if our_hyps[utt] != ref_hyp:
+                failures.append(
+                    f"pick lmwt={lmwt} {utt}: ours {our_hyps[utt]} ref {ref_hyp}")
+
+    # (d) WER across the sweep: C++ wer tool vs python Levenshtein
+    for lmwt in lmwt_range:
+        if abs(res.wer_by_lmwt[lmwt] - ref_wers[lmwt]) > 0.005:
+            failures.append(f"wer lmwt={lmwt}: ours {res.wer_by_lmwt[lmwt]} "
+                            f"ref {ref_wers[lmwt]}")
+
+    report = {
+        "metric": "wer_parity",
+        "n_utts": res.n_utts,
+        "n_hyps": res.n_hyps,
+        "best_lmwt": res.best_lmwt,
+        "best_wer": res.best_wer,
+        "ref_best_wer": min(ref_wers.values()),
+        "max_nn_abs_diff": max(abs(our_nn[k] - v) for k, v in ref_nn.items()),
+        "failures": len(failures),
+    }
+    if verbose:
+        for fmsg in failures[:20]:
+            print("PARITY FAIL:", fmsg, file=sys.stderr)
+        print(json.dumps(report))
+    return report, failures
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--meetings", type=int, default=3)
+    ap.add_argument("--utts-per-meeting", type=int, default=8)
+    ap.add_argument("--vocab-words", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nn-weight", type=float, default=0.8)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+    _, failures = run(meetings=args.meetings,
+                      utts_per_meeting=args.utts_per_meeting,
+                      vocab_words=args.vocab_words, seed=args.seed,
+                      nn_weight=args.nn_weight, workdir=args.workdir)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
