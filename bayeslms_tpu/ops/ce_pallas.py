@@ -217,7 +217,12 @@ def _bwd_dh_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
 
     tloc = tgt_ref[:][:, :1] - j * scores.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    d = p - (cols == tloc).astype(jnp.float32)
+    # per-token cotangent coefficients: a on the softmax term, b on the
+    # target hit (single chip: a=g, b=-g; vocab-sharded: the outer
+    # logsumexp-merge's exact cotangents)
+    a = g_ref[:][:, :1]
+    b = g_ref[:][:, 8:9]
+    d = a * p + b * (cols == tloc).astype(jnp.float32)
 
     acc_scr[:] = acc_scr[:] + jnp.dot(
         d.astype(emb_ref.dtype), emb_ref[:], preferred_element_type=jnp.float32
@@ -225,8 +230,7 @@ def _bwd_dh_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
 
     @pl.when(j == nv - 1)
     def _():
-        g = g_ref[:][:, :1]
-        out_ref[:] = (g * acc_scr[:]).astype(out_ref.dtype)
+        out_ref[:] = acc_scr[:].astype(out_ref.dtype)
 
 
 def _bwd_de_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
@@ -253,8 +257,9 @@ def _bwd_de_kernel(h_ref, emb_ref, bias_ref, tgt_ref, stat_ref, g_ref,
     j = pl.program_id(0)
     tloc = tgt_ref[:][:, :1] - j * scores.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    g = g_ref[:][:, :1]
-    gp = g * (p - (cols == tloc).astype(jnp.float32))  # (bm, bv) f32
+    a = g_ref[:][:, :1]
+    b = g_ref[:][:, 8:9]
+    gp = a * p + b * (cols == tloc).astype(jnp.float32)  # (bm, bv) f32
 
     acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
         gp.astype(h_ref.dtype), h_ref[:], (((0,), (0,)), ((), ())),
@@ -311,7 +316,7 @@ def _run_bwd_dh(h, emb, bias, tgt, stats, g, bm: int, bv: int):
             pl.BlockSpec((1, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
@@ -334,7 +339,7 @@ def _run_bwd_de(h, emb, bias, tgt, stats, g, bm: int, bv: int):
             pl.BlockSpec((1, bv), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 8), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 16), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 8), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 16), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((bv, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -395,16 +400,21 @@ def _fdc_bwd(res, g):
     M_pad = hf.shape[0]
     gf = jnp.pad(g.reshape(-1).astype(jnp.float32), (0, M_pad - M))
     tgt8 = jnp.broadcast_to(tf[:, None], (M_pad, 8))
-    g8 = jnp.broadcast_to(gf[:, None], (M_pad, 8))
+    # cotangent coefficients packed (bm, 16): cols 0-7 a (softmax term),
+    # cols 8-15 b (target-hit term); CE grad is a=g, b=-g
+    g16 = jnp.concatenate(
+        [jnp.broadcast_to(gf[:, None], (M_pad, 8)),
+         jnp.broadcast_to(-gf[:, None], (M_pad, 8))], axis=1
+    )
     # stats packed (bm, 16): cols 0-7 max, cols 8-15 sumexp
     stats = jnp.concatenate(
         [jnp.broadcast_to(mx[:, None], (M_pad, 8)),
          jnp.broadcast_to(se[:, None], (M_pad, 8))], axis=1
     )
-    dh = _run_bwd_dh(hf, embp, biasp, tgt8, stats, g8, _BM_TRAIN, _BV)
+    dh = _run_bwd_dh(hf, embp, biasp, tgt8, stats, g16, _BM_TRAIN, _BV)
     # dE holds a (bv, D) f32 accumulator + (bv, D) f32 output block in VMEM;
     # bv=1024 at D=1024 blows the 16 MB budget (measured 18 MB) — halve it.
-    de, db = _run_bwd_de(hf, embp, biasp, tgt8, stats, g8, _BM_TRAIN,
+    de, db = _run_bwd_de(hf, embp, biasp, tgt8, stats, g16, _BM_TRAIN,
                          min(_BV_DE, _BV))
     V, D = emb.shape
     dh = dh[:M].reshape(h.shape).astype(h.dtype)
@@ -417,6 +427,119 @@ fused_decode_ce_train.defvjp(_fdc_fwd, _fdc_bwd)
 
 _BM_TRAIN = 512  # token-tile rows for the train kernels (dh acc is (bm, D) f32)
 _BV_DE = 512  # vocab-tile columns for the dE kernel (f32 acc + out in VMEM)
+
+
+# =====================================================================
+# Multi-chip training path (shard_map): vocab-sharded fused decode+CE.
+#
+# Under a (dp, tp) mesh the decoder/embedding is vocab-sharded (mesh.py
+# param rules) and the XLA CE lets GSPMD partition the softmax — but each
+# chip still materializes its (M, V/tp) logit shard three times in HBM.
+# Here each shard runs the SAME fused kernels on its local vocab slice and
+# returns per-token partials
+#
+#   lse_k = log sum_{v in shard k} exp(score_v)     t_k = target logit
+#                                                         (0 off-shard)
+#
+# stacked over the vocab axis; the global softmax is stitched OUTSIDE the
+# shard_map as ce = logsumexp_k(lse_k) - sum_k t_k (a tiny (tp, T, B) XLA
+# reduction — the scaling-book reduce-don't-gather recipe). Keeping the
+# collectives outside the custom VJP makes the transpose exact: autodiff
+# of the merge delivers each shard's cotangents (d_lse = g*softmax weight,
+# d_t = -g), which the backward kernels consume directly via their
+# (a, b)-coefficient form d = a*p_local + b*hit. dE/db stay shard-local;
+# dh partials are summed by shard_map's own transpose. The (M, V) logits
+# never exist — per chip OR gathered.
+#
+# With tp=1 this degenerates to per-dp-shard single-chip fused CE, so the
+# measured single-chip win extends to data-parallel meshes unchanged.
+# =====================================================================
+
+
+@jax.custom_vjp
+def _shard_lse_t(h, emb, bias, tgt_adj):
+    """Per-shard (lse, target-logit) over the LOCAL vocab slice.
+
+    tgt_adj: shard-local target ids, -1 when the target is off-shard.
+    Returns two (M,) f32 vectors, M = number of tokens in h.
+    """
+    out, _ = _shard_lse_t_fwd(h, emb, bias, tgt_adj)
+    return out
+
+
+def _shard_lse_t_fwd(h, emb, bias, tgt_adj):
+    hf, embp, biasp, tf, M, _ = _pad_inputs(h, emb, bias, tgt_adj, _BM_TRAIN, _BV)
+    tgt8 = jnp.broadcast_to(tf[:, None], (tf.shape[0], 8))
+    ce_loc, mx, se = _run_fwd_stats(hf, embp, biasp, tgt8, _BM_TRAIN, _BV)
+    lse = jnp.log(se) + mx
+    t = lse - ce_loc  # 0 when the target is off-shard
+    return (lse[:M], t[:M]), (h, emb, bias, tgt_adj, mx, se)
+
+
+def _shard_lse_t_bwd(res, cts):
+    h, emb, bias, tgt_adj, mx, se = res
+    d_lse, d_t = cts
+    hf, embp, biasp, tf, M, _ = _pad_inputs(h, emb, bias, tgt_adj, _BM_TRAIN, _BV)
+    M_pad = hf.shape[0]
+    a = jnp.pad(d_lse.reshape(-1).astype(jnp.float32), (0, M_pad - M))
+    b = jnp.pad(d_t.reshape(-1).astype(jnp.float32), (0, M_pad - M))
+    tgt8 = jnp.broadcast_to(tf[:, None], (M_pad, 8))
+    g16 = jnp.concatenate(
+        [jnp.broadcast_to(a[:, None], (M_pad, 8)),
+         jnp.broadcast_to(b[:, None], (M_pad, 8))], axis=1
+    )
+    stats = jnp.concatenate(
+        [jnp.broadcast_to(mx[:, None], (M_pad, 8)),
+         jnp.broadcast_to(se[:, None], (M_pad, 8))], axis=1
+    )
+    dh = _run_bwd_dh(hf, embp, biasp, tgt8, stats, g16, _BM_TRAIN, _BV)
+    de, db = _run_bwd_de(hf, embp, biasp, tgt8, stats, g16, _BM_TRAIN,
+                         min(_BV_DE, _BV))
+    V, D = emb.shape
+    dh = dh[:M].reshape(h.shape).astype(h.dtype)
+    de = de[:V].astype(emb.dtype)
+    db = db[0, :V].astype(bias.dtype)
+    return dh, de, db, None
+
+
+_shard_lse_t.defvjp(_shard_lse_t_fwd, _shard_lse_t_bwd)
+
+
+def fused_decode_ce_train_spmd(h, emb, bias, targets, mesh, *,
+                               vocab_axis: str = "tp", batch_axis: str = "dp"):
+    """Differentiable fused decode+CE over a (dp, tp) mesh.
+
+    h: (T, B, D) batch-sharded over ``batch_axis``; emb: (V, D) and bias:
+    (V,) vocab-sharded over ``vocab_axis``; targets: (T, B) int. Returns
+    per-token CE (T, B) batch-sharded. V must divide by the vocab-axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    T, B = targets.shape
+
+    def body(hh, ee, bb, tt):
+        v_loc = ee.shape[0]
+        off = jax.lax.axis_index(vocab_axis) * v_loc
+        tl = tt.astype(jnp.int32) - off
+        # off-shard targets -> -1 sentinel (never hits); without this a
+        # target from a HIGHER shard can land inside this shard's padded
+        # vocab tile and pick up its -1e30 padding score
+        tl = jnp.where((tl >= 0) & (tl < v_loc), tl, -1)
+        lse, t = _shard_lse_t(hh, ee, bb, tl)
+        b_loc = tt.shape[1]
+        return lse.reshape(1, T, b_loc), t.reshape(1, T, b_loc)
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, batch_axis, None), P(vocab_axis, None),
+                  P(vocab_axis), P(None, batch_axis)),
+        out_specs=(P(vocab_axis, None, batch_axis),
+                   P(vocab_axis, None, batch_axis)),
+        check_vma=False,
+    )
+    lse_k, t_k = f(h, emb, bias, targets)  # (tp, T, B) partials
+    return jax.nn.logsumexp(lse_k, axis=0) - t_k.sum(axis=0)
 
 
 def fused_ce_ok(D: int) -> bool:

@@ -88,13 +88,25 @@ class Trainer:
         from ..ops.ce_pallas import fused_ce_ok
 
         _dim = model_cfg.emsize if model_cfg.is_transformer else model_cfg.nhid
-        self.use_fused_ce_train = (
-            _os.environ.get("BAYESLM_FUSED_CE_TRAIN", "1") != "0"
+        _fused_env = _os.environ.get("BAYESLM_FUSED_CE_TRAIN", "1") != "0"
+        _fused_base = (
+            _fused_env
             and model_cfg.tied
             and fused_ce_ok(_dim)
             and model_cfg.vocab_size >= 4096
-            and self.mesh is None
-            and train_cfg.dp_shards <= 1
+        )
+        self.use_fused_ce_train = (
+            _fused_base and self.mesh is None and train_cfg.dp_shards <= 1
+        )
+        # Mesh variant (ops/ce_pallas.py fused_decode_ce_train_spmd): the
+        # same kernels per vocab shard inside shard_map, stitched with an
+        # online-logsumexp (pmax/psum) merge — no logit materialization per
+        # chip and no decoder all-gather. tp=1 degenerates to per-dp-shard
+        # single-chip fused CE.
+        self.use_fused_ce_train_spmd = (
+            _fused_base
+            and self.mesh is not None
+            and model_cfg.vocab_size % self.mesh.shape["tp"] == 0
         )
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_impl)
@@ -171,6 +183,14 @@ class Trainer:
                 out, new_hidden, var = self._apply_train_hidden(p, data, hidden, rngs)
                 ce = fused_decode_ce_train(
                     out, p["embedding"], p["decoder_b"], target
+                )
+                mle = ce.mean()
+            elif self.use_fused_ce_train_spmd:
+                from ..ops.ce_pallas import fused_decode_ce_train_spmd
+
+                out, new_hidden, var = self._apply_train_hidden(p, data, hidden, rngs)
+                ce = fused_decode_ce_train_spmd(
+                    out, p["embedding"], p["decoder_b"], target, self.mesh
                 )
                 mle = ce.mean()
             else:

@@ -137,3 +137,94 @@ def test_sharded_scorer_matches_single_device():
             a = [s for _, s in single[k]]
             b = [s for _, s in sharded[k]]
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+# ----------------------------------------------- vocab-sharded fused CE
+
+def test_fused_ce_spmd_matches_xla(monkeypatch):
+    """shard_map vocab-sharded fused decode+CE (online-logsumexp merge over
+    tp) == global XLA logsumexp CE, values AND grads (interpret mode)."""
+    import bayeslms_tpu.ops.ce_pallas as cp
+    from bayeslms_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    mesh = make_mesh(dp=4, tp=2)
+
+    T, B, D, V = 6, 8, 32, 96  # V/tp=48 pads to a full 1024 vocab tile
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, V, (T, B)), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+
+    def xla_loss(h, emb, bias, tgt):
+        logits = jnp.einsum("tbd,vd->tbv", h, emb) + bias
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        t = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+        return ((lse - t) * w).sum()
+
+    def spmd_loss(h, emb, bias, tgt):
+        ce = cp.fused_decode_ce_train_spmd(h, emb, bias, tgt, mesh)
+        return (ce * w).sum()
+
+    with mesh:
+        ref_v, ref_g = jax.value_and_grad(xla_loss, argnums=(0, 1, 2))(
+            h, emb, bias, tgt)
+        got_v, got_g = jax.jit(
+            jax.value_and_grad(spmd_loss, argnums=(0, 1, 2))
+        )(h, emb, bias, tgt)
+
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-5)
+    for r, g, name in zip(ref_g, got_g, ("dh", "dE", "db")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_trainer_fused_ce_spmd_matches_xla_step(monkeypatch):
+    """A mesh Trainer step with the SPMD fused CE == the same step with the
+    XLA CE (same params, batch, and keys), to f32 tolerance."""
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.parallel.train_parallel import make_sharded_train_step, place
+    from bayeslms_tpu.train.loop import Trainer
+    from bayeslms_tpu.train.optim import init_opt_state
+    import bayeslms_tpu.ops.ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    cfg = ModelConfig(
+        model="Transformer", vocab_size=4096, emsize=128, nhid=64, nlayers=1,
+        nhead=2, dropout=0.0, uncertainty="none",
+    )
+    T, B = 6, 8
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 4096, (T, B)).astype(np.int32)
+    target = rng.integers(0, 4096, (T, B)).astype(np.int32)
+    key = jax.random.key(11)
+
+    results = {}
+    for fused, label in ((True, "fused"), (False, "xla")):
+        if fused:
+            monkeypatch.setattr(cp, "fused_ce_ok", lambda D: True)
+        else:
+            monkeypatch.setattr(cp, "fused_ce_ok", lambda D: False)
+        trainer = Trainer(cfg, TrainConfig(batch_size=B, seq_len=T), mesh=mesh)
+        assert trainer.use_fused_ce_train_spmd == fused
+        state = trainer.init_state(seed=3)
+        with mesh:
+            step, p_sh, b_sh, h_sh = make_sharded_train_step(
+                trainer, mesh, state.params)
+            params = place(state.params, p_sh)
+            out = step(params, init_opt_state(params), (None, None),
+                       place(jnp.asarray(data), b_sh),
+                       place(jnp.asarray(target), b_sh),
+                       jnp.asarray(0.1, jnp.float32),
+                       jnp.asarray(0.0, jnp.float32), key)
+        results[label] = (float(out[3]), jax.tree.map(np.asarray, out[0]))
+
+    assert np.isclose(results["fused"][0], results["xla"][0], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        results["fused"][1], results["xla"][1],
+    )
