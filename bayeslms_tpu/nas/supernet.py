@@ -69,7 +69,10 @@ class SearchEncoderLayer(nn.Module):
             d, kernel_init=tinit.torch_linear_weight(ff), bias_init=tinit.torch_linear_bias(ff)
         )
         if self.mode == "bayes":
-            self.branch = BayesDense(ff, d)
+            # XLA sampling path: the unrolled second-order architect takes
+            # grad-of-grad through this branch, which the fused bayes_matmul
+            # custom VJP (pallas) cannot provide
+            self.branch = BayesDense(ff, d, use_fused=False)
         else:
             self.branch = GPNN(
                 d, ff, act_set=("tanh", "sigmoid", "relu", "gelu"), gpnn_type=3,
