@@ -139,7 +139,7 @@ def cmd_rescore(args) -> int:
     res = run_pipeline(
         args.lattices, args.words, scorer, vocab.word2idx, args.workdir, rcfg,
         arpa_lm=args.arpa, ref_text=args.ref, glm=args.glm,
-        asclite_clean=args.asclite_clean,
+        asclite_clean=args.asclite_clean, sanity_test=args.sanity_test,
     )
     print(json.dumps({
         "n_utts": res.n_utts, "n_hyps": res.n_hyps,
@@ -252,6 +252,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--asclite-clean", action="store_true",
                    help="drop hesitations/[noise]/<unk> from hyps "
                         "(score_asclite.sh:87-93)")
+    r.add_argument("--sanity-test", action="store_true",
+                   help="reference --test true branch: rebuild lattices "
+                        "without changing scores and verify the round trip "
+                        "(lmrescore :176-184)")
     r.set_defaults(fn=cmd_rescore)
 
     n = sub.add_parser("snr", help="posterior SNR analysis (variance.py)")

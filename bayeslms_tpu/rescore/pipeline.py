@@ -89,6 +89,7 @@ def run_pipeline(
     tools_dir: Optional[str] = None,
     glm: Optional[str] = None,
     asclite_clean: bool = False,
+    sanity_test: bool = False,
 ) -> PipelineResult:
     os.makedirs(workdir, exist_ok=True)
     res = PipelineResult()
@@ -106,6 +107,47 @@ def run_pipeline(
             lattices, words_int, lmwt_withlm, acwt, ali,
         ]
     )
+
+    if sanity_test:
+        # The reference's `--test true` branch (lmrescore :176-184):
+        # regenerate lattices from the N-best archives WITHOUT changing any
+        # score and stop — rescoring these must reproduce the original WER.
+        # Self-check: re-extract the N-best and assert every (lm, acoustic)
+        # cost round-trips exactly.
+        lats_out = os.path.join(workdir, "test_lats.txt")
+        _run_tool([_tool("nbest_to_lattice", tools_dir),
+                   words_int, lmwt_withlm, acwt, lats_out])
+        res.rescored_lattices = lats_out
+        chk = os.path.join(workdir, "roundtrip")
+        os.makedirs(chk, exist_ok=True)
+        w2, g2, a2, ali2 = (os.path.join(chk, n)
+                            for n in ("w", "g", "a", "ali"))
+        _run_tool([_tool("lattice_to_nbest", tools_dir), f"--n={rcfg.nbest}",
+                   f"--acoustic-scale={rcfg.acwt}", lats_out, w2, g2, a2, ali2])
+
+        def by_words(words_path, g_path, a_path):
+            gsc, asc = _read_scores(g_path), _read_scores(a_path)
+            out = {}
+            for line in open(words_path):
+                parts = line.split()
+                k = parts[0]
+                utt = k[: k.rfind("-")]
+                out[(utt, tuple(parts[1:]))] = (gsc[k], asc[k])
+            return out
+
+        before = by_words(words_int, lmwt_withlm, acwt)
+        after = by_words(w2, g2, a2)
+        bad = [k for k, v in before.items()
+               if k not in after
+               or abs(after[k][0] - v[0]) > 1e-3
+               or abs(after[k][1] - v[1]) > 1e-3]
+        if bad:
+            raise RuntimeError(
+                f"sanity test: {len(bad)} hypotheses changed scores in the "
+                f"lattice round trip (first: {bad[:3]})")
+        res.n_utts = len({u for u, _ in before})
+        res.n_hyps = len(before)
+        return res
 
     # -- stage 3 (early, needed by 2 and 4): ids -> words
     words_text = os.path.join(workdir, "words.txt")

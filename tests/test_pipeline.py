@@ -106,3 +106,16 @@ def test_pipeline_with_real_batch_scorer(setup):
     assert set(res.wer_by_lmwt) == {7, 8}
     nn = open(os.path.join(str(tmp_path / "wd2"), "nnlm.scores")).read()
     assert nn.startswith("u1-1 ") and len(nn.splitlines()) == 2
+
+
+def test_pipeline_sanity_test_branch(setup):
+    """The reference's --test true branch (lmrescore :176-184): rebuild
+    lattices without changing scores; every (lm, acoustic) cost round-trips."""
+    tmp_path, lats, words_txt, ref, arpa = setup
+    w2i = {w: i for i, w in enumerate(WORDS)}
+    res = run_pipeline(lats, words_txt, BiasedScorer(), w2i,
+                       str(tmp_path / "wd_t"), RescoreConfig(nbest=5),
+                       arpa_lm=arpa, ref_text=ref, sanity_test=True)
+    assert res.n_utts == 1 and res.n_hyps == 2
+    assert os.path.exists(res.rescored_lattices)
+    assert res.wer_by_lmwt == {}  # stops before rescoring, like the reference

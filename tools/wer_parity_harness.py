@@ -194,35 +194,46 @@ def levenshtein(ref, hyp):
     return int(d[n, m])
 
 
-def reference_nn_scores(tm, nbest, w2i):
-    """The reference scorer's per-hypothesis batch-1 loop with hidden carried
-    from the FIRST hypothesis of the previous utterance
-    (compute_sentence_scores_bayes_jianwei.py:87-173, :261-274)."""
+def reference_nn_scores(tm, nbest, w2i, tm2=None, alpha=0.8, is_tm=False):
+    """The reference scorer's per-hypothesis batch-1 loop: LSTM hidden
+    carried from the FIRST hypothesis of the previous utterance, optional
+    logit-level interpolation with a baseline model
+    (compute_sentence_scores_bayes_jianwei.py:87-173, :157-163, :261-274)."""
     import torch
 
     ce = torch.nn.CrossEntropyLoss(reduction="sum")
     unk = w2i["<unk>"]
     scores = {}
-    carry = tm.init_hidden(1)
+    carry = None if is_tm else tm.init_hidden(1)
+    carry2 = None if (is_tm or tm2 is None) else tm2.init_hidden(1)
     for utt, hyps in nbest.items():
-        next_carry = carry
+        next_carry, next_carry2 = carry, carry2
         for j, hyp in enumerate(hyps):
             inp = ["<s>"] + hyp.split()
             out = hyp.split() + ["<s>"]
             x = torch.tensor([[w2i.get(w, unk)] for w in inp])
             y = torch.tensor([w2i.get(w, unk) for w in out])
             with torch.no_grad():
-                logits, new_h = tm(x, carry)
+                if is_tm:
+                    logits = tm(x)
+                    new_h = new_h2 = None
+                else:
+                    logits, new_h = tm(x, carry)
+                    new_h2 = None
+                    if tm2 is not None:
+                        logits2, new_h2 = tm2(x, carry2)
+                        logits = (alpha * logits.view(-1, logits.shape[-1])
+                                  + (1.0 - alpha) * logits2.view(-1, logits2.shape[-1]))
             scores[f"{utt}-{j + 1}"] = float(
                 ce(logits.view(-1, logits.shape[-1]), y))
             if j == 0:
-                next_carry = new_h
-        carry = next_carry
+                next_carry, next_carry2 = new_h, new_h2
+        carry, carry2 = next_carry, next_carry2
     return scores
 
 
 def reference_pipeline(workdir, nbest, tm, w2i, arpa_path, refs, nn_weight,
-                       lmwt_range):
+                       lmwt_range, tm2=None, alpha=0.8, is_tm=False):
     """lm = nolm + w*nn + (1-w)*ngram; pick argmin(lm + ac/lmwt) per utt per
     LMWT; python-Levenshtein WER (the awk + sweep stages of the reference)."""
     withlm = {k: float(v) for k, v in
@@ -236,7 +247,7 @@ def reference_pipeline(workdir, nbest, tm, w2i, arpa_path, refs, nn_weight,
 
     py_arpa = PyArpa(arpa_path)
     lmonly = {k: py_arpa.sentence_cost(t) for k, t in texts.items()}
-    nn = reference_nn_scores(tm, nbest, w2i)
+    nn = reference_nn_scores(tm, nbest, w2i, tm2=tm2, alpha=alpha, is_tm=is_tm)
 
     w = nn_weight
     lm_final = {k: (withlm[k] - lmonly[k]) + w * nn[k] + (1.0 - w) * lmonly[k]
@@ -261,7 +272,8 @@ def reference_pipeline(workdir, nbest, tm, w2i, arpa_path, refs, nn_weight,
 # --------------------------------------------------------------------------
 
 def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
-        nn_weight=0.8, emsize=16, nhid=16, workdir=None, verbose=True):
+        nn_weight=0.8, emsize=16, nhid=16, workdir=None, verbose=True,
+        model="lstm", interp=False):
     import subprocess
 
     import torch
@@ -286,20 +298,45 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
     sys.modules.setdefault("ref_model", ref_mod)
     spec.loader.exec_module(ref_mod)
     torch.manual_seed(seed + 1)
-    tm = ref_mod.BayesRNNModel("LSTM", len(words), emsize, nhid, 2,
-                               dropout=0.0, tie_weights=True, bayes_pos=2).eval()
-
-    cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
-                      nhid=nhid, dropout=0.0, uncertainty="Bayesian",
-                      l_bayes_pos=2)
-    model = build_model(cfg)
-    params = init_params(model, cfg)
+    is_tm = model == "transformer"
+    if is_tm:
+        tm = ref_mod.BayesTransformerModel(len(words), emsize, 2, 2 * nhid, 2,
+                                           dropout=0.0, tie_weights=True,
+                                           bayes_pos="FFN").eval()
+        cfg = ModelConfig(model="Transformer", vocab_size=len(words),
+                          emsize=emsize, nhid=2 * nhid, nlayers=2, nhead=2,
+                          dropout=0.0, uncertainty="Bayesian",
+                          t_bayes_pos="FFN")
+    else:
+        tm = ref_mod.BayesRNNModel("LSTM", len(words), emsize, nhid, 2,
+                                   dropout=0.0, tie_weights=True,
+                                   bayes_pos=2).eval()
+        cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
+                          nhid=nhid, dropout=0.0, uncertainty="Bayesian",
+                          l_bayes_pos=2)
+    net = build_model(cfg)
+    params = init_params(net, cfg)
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     params, _ = partial_update(params, import_torch_state_dict(sd, cfg))
 
-    rcfg = RescoreConfig(nbest=10, nn_weight=nn_weight, carry_over=True,
-                         max_hyp_len=32, min_lmwt=7, max_lmwt=15)
-    scorer = BatchScorer(cfg, params, rcfg)
+    tm2, cfg2, params2 = None, None, None
+    if interp:
+        # baseline NN for logit-level interpolation (inter_flag=1, alpha=0.8
+        # — the production scorer's hardcoded inter_path model, :157-163)
+        assert not is_tm, "interp harness variant exercises the LSTM path"
+        tm2 = ref_mod.RNNModel("LSTM", len(words), emsize, nhid, 2,
+                               dropout=0.0, tie_weights=True).eval()
+        cfg2 = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
+                           nhid=nhid, dropout=0.0)
+        net2 = build_model(cfg2)
+        params2 = init_params(net2, cfg2)
+        sd2 = {k: v.detach().numpy() for k, v in tm2.state_dict().items()}
+        params2, _ = partial_update(params2, import_torch_state_dict(sd2, cfg2))
+
+    rcfg = RescoreConfig(nbest=10, nn_weight=nn_weight, carry_over=not is_tm,
+                         max_hyp_len=32, min_lmwt=7, max_lmwt=15,
+                         inter_flag=1 if interp else 0, inter_alpha=0.8)
+    scorer = BatchScorer(cfg, params, rcfg, cfg2=cfg2, params2=params2)
 
     wd = os.path.join(tmp, "ours")
     res = run_pipeline(lats, words_txt, scorer, w2i, wd, rcfg,
@@ -309,7 +346,8 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
     nbest = load_nbest(os.path.join(wd, "words.txt"))
     lmwt_range = range(rcfg.min_lmwt, rcfg.max_lmwt + 1)
     ref_nn, ref_lmonly, ref_lm, ref_picks, ref_wers = reference_pipeline(
-        wd, nbest, tm, w2i, arpa, refs, nn_weight, lmwt_range)
+        wd, nbest, tm, w2i, arpa, refs, nn_weight, lmwt_range,
+        tm2=tm2, alpha=0.8, is_tm=is_tm)
 
     failures = []
 
@@ -371,11 +409,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nn-weight", type=float, default=0.8)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--model", default="lstm", choices=["lstm", "transformer"])
+    ap.add_argument("--interp", action="store_true",
+                    help="logit-level interpolation with a baseline NN "
+                         "(inter_flag=1, alpha=0.8)")
     args = ap.parse_args()
     _, failures = run(meetings=args.meetings,
                       utts_per_meeting=args.utts_per_meeting,
                       vocab_words=args.vocab_words, seed=args.seed,
-                      nn_weight=args.nn_weight, workdir=args.workdir)
+                      nn_weight=args.nn_weight, workdir=args.workdir,
+                      model=args.model, interp=args.interp)
     sys.exit(1 if failures else 0)
 
 
