@@ -52,6 +52,33 @@ def multihead_attention(
 
             if pallas_attention_ok(q.shape[0], q.shape[2], nhead):
                 return causal_attention_pallas(q, k, v, nhead)
+    elif causal and not deterministic:
+        # Differentiable flash attention with in-kernel dropout (custom VJP,
+        # ops/attention_train_pallas.py). Measured in-model on v5e (full
+        # train step, docs/ROUND2_NOTES.md): the kernel wins in isolation at
+        # every T (5x at T=100) but LOSES inside the model at short T, where
+        # XLA fuses the einsum attention into its neighbors (T=100: 16.7 vs
+        # 14.7 ms; T=512: 23.3 vs 21.0) — and wins once the (B, h, T, T)
+        # materializations dominate (T=2048: 37.3 vs 46.1 ms). Auto default:
+        # kernel at T >= 1024. BAYESLM_PALLAS_ATTN_TRAIN=1/0 forces on/off.
+        import os
+
+        flag = os.environ.get("BAYESLM_PALLAS_ATTN_TRAIN", "auto")
+        if flag == "1" or (flag != "0" and q.shape[0] >= 1024):
+            from .attention_train_pallas import (
+                flash_attention_train,
+                flash_attn_train_ok,
+            )
+
+            if flash_attn_train_ok(q.shape[0], q.shape[2], nhead):
+                rate = float(dropout_rate)
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                return flash_attention_train(q, k, v, nhead, rate, seed)
     T, B, E = q.shape
     S = k.shape[0]
     head_dim = E // nhead

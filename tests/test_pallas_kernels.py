@@ -154,3 +154,82 @@ def test_sample_noise_grad(monkeypatch):
     g = jax.grad(lambda lg: jnp.sum(bm.sample_noise(lg, seed) ** 2) / 2)(lgstd)
     # d/dlgstd sum(n^2)/2 = n * dn/dlgstd = n * n
     np.testing.assert_allclose(np.asarray(g), np.asarray(n) ** 2, rtol=1e-5)
+
+
+# ----------------------------------------- flash attention training VJP
+
+@pytest.fixture
+def train_attn_interpret(monkeypatch):
+    import bayeslms_tpu.ops.attention_train_pallas as atp
+
+    monkeypatch.setattr(atp, "_INTERPRET", pltpu.InterpretParams())
+    return atp
+
+
+@pytest.mark.parametrize("T", [16, 24])  # 24: T % block != 0 (padding)
+def test_flash_attention_train_nodrop_matches_xla(train_attn_interpret, T):
+    """rate=0: forward AND grads equal the XLA einsum attention."""
+    atp = train_attn_interpret
+    B, E, h = 2, 32, 4
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)
+               for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def xla_loss(q, k, v):
+        out = multihead_attention(q, k, v, h, attn_mask=causal_mask(T),
+                                  deterministic=True)
+        return (out * w).sum()
+
+    def ker_loss(q, k, v):
+        return (atp.flash_attention_train(q, k, v, h, 0.0, seed) * w).sum()
+
+    # deterministic=True would route XLA path; ensure it does (no pallas):
+    ref_v, ref_g = jax.value_and_grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    got_v, got_g = jax.value_and_grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(got_v, ref_v, rtol=2e-5)
+    for r, g, name in zip(ref_g, got_g, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_flash_attention_train_dropout_grads(train_attn_interpret):
+    """rate>0: the kernel is deterministic given seed, so finite differences
+    validate the custom VJP (incl. bit-identical mask regeneration across
+    the three kernels)."""
+    from jax.test_util import check_grads
+
+    atp = train_attn_interpret
+    T, B, E, h = 16, 2, 32, 4
+    rng = np.random.default_rng(2)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)
+               for _ in range(3))
+    seed = jnp.asarray([1234], jnp.int32)
+
+    f = lambda q, k, v: atp.flash_attention_train(q, k, v, h, 0.25, seed)
+    # same seed -> identical output; custom VJP consistent with numerics
+    o1, o2 = f(q, k, v), f(q, k, v)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    check_grads(f, (q, k, v), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+
+def test_flash_attention_train_via_multihead(train_attn_interpret, monkeypatch):
+    """multihead_attention routes the causal non-deterministic path to the
+    kernel (forced on; the auto default engages at T >= 1024) and stays
+    differentiable."""
+    monkeypatch.setenv("BAYESLM_PALLAS_ATTN_TRAIN", "1")
+    T, B, E, h = 16, 2, 32, 4
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)
+               for _ in range(3))
+
+    def loss(q):
+        out = multihead_attention(
+            q, k, v, h, attn_mask=causal_mask(T), dropout_rate=0.2,
+            dropout_rng=jax.random.key(0), deterministic=False, causal=True,
+        )
+        return (out ** 2).sum()
+
+    val, g = jax.value_and_grad(loss)(q)
+    assert np.isfinite(val) and np.isfinite(np.asarray(g)).all()

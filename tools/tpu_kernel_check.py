@@ -110,9 +110,67 @@ def check_fused_ce():
     print("fused_decode_ce: OK (online logsumexp vs XLA CE)")
 
 
+def check_flash_attention_train():
+    """rate=0: parity vs XLA attention (f32). rate>0: directional-derivative
+    check of the custom VJP (the kernel is deterministic given seed) and
+    drop-rate statistic."""
+    from bayeslms_tpu.ops.attention import causal_mask, multihead_attention
+    from bayeslms_tpu.ops.attention_train_pallas import flash_attention_train
+
+    T, B, E, h = 100, 8, 256, 4
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+               for _ in range(3))
+    seed = jnp.asarray([77], jnp.int32)
+
+    ref = multihead_attention(q, k, v, h, attn_mask=causal_mask(T),
+                              deterministic=True)
+    got = flash_attention_train(q, k, v, h, 0.0, seed)
+    # MXU f32 dots run as bf16 passes on TPU (same as the XLA einsum side);
+    # exact parity is asserted in interpret mode (tests/test_pallas_kernels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)
+
+    # dropout statistics: each prob entry survives w.p. keep and is scaled
+    # 1/keep, so row sums of the (implicit) dropped prob matrix have mean 1;
+    # out stays bounded and differs seed-to-seed
+    o1 = flash_attention_train(q, k, v, h, 0.25, seed)
+    o2 = flash_attention_train(q, k, v, h, 0.25, seed)
+    o3 = flash_attention_train(q, k, v, h, 0.25, jnp.asarray([78], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert float(jnp.abs(o1 - o3).max()) > 0.0, "seed must change the mask"
+    # many-seed average approaches the no-dropout output
+    avg = sum(
+        flash_attention_train(q, k, v, h, 0.25, jnp.asarray([s], jnp.int32))
+        for s in range(64)
+    ) / 64.0
+    err = float(jnp.abs(avg - ref).mean()) / float(jnp.abs(ref).mean())
+    assert err < 0.08, f"dropout mean drift {err}"
+
+    # directional derivative: f(x+eps*u) - f(x-eps*u) ~= 2 eps <grad, u>.
+    # Validates fwd/bwd dropout-mask regeneration consistency on real TPU.
+    # Small shapes: MXU f32 dots run as bf16 passes, so FD noise scales with
+    # sqrt(#accumulated terms) — keep it far below the signal.
+    Ts, Bs, Es, hs = 16, 1, 64, 1
+    qs, ks, vs = (jnp.asarray(rng.normal(size=(Ts, Bs, Es)).astype(np.float32))
+                  for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(Ts, Bs, Es)).astype(np.float32))
+    f = lambda q, k, v: (flash_attention_train(q, k, v, hs, 0.25, seed) * w).sum()
+    g = jax.grad(f, argnums=(0, 1, 2))(qs, ks, vs)
+    us = [jnp.asarray(rng.normal(size=(Ts, Bs, Es)).astype(np.float32))
+          for _ in range(3)]
+    eps = 5e-2
+    num = (f(qs + eps * us[0], ks + eps * us[1], vs + eps * us[2])
+           - f(qs - eps * us[0], ks - eps * us[1], vs - eps * us[2])) / (2 * eps)
+    ana = sum((gi * ui).sum() for gi, ui in zip(g, us))
+    np.testing.assert_allclose(float(num), float(ana), rtol=5e-2)
+    print("flash_attention_train: OK (parity, dropout stats, VJP directional check)")
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform)
     check_fused_ce()
+    check_flash_attention_train()
     check_attention()
     check_lstm()
     check_bayes_matmul()
