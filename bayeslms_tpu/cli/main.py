@@ -66,12 +66,27 @@ def cmd_train(args) -> int:
         epochs=args.epochs, seq_len=args.seq_len, clip=args.clip, seed=args.seed,
         log_interval=args.log_interval, data_fraction=args.data_fraction,
         prior=args.prior, prior_path=args.prior_path, prior_kl=args.prior_kl,
-        save=args.save, rng_impl=args.rng_impl,
+        save=args.save, rng_impl=args.rng_impl, dp_shards=args.dp_shards,
     )
-    trainer = Trainer(cfg, tcfg)
+    mesh = None
+    if args.tp_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=max(args.dp_shards, 1), tp=args.tp_shards)
+    trainer = Trainer(cfg, tcfg, mesh=mesh)
     _, out = trainer.fit(corpus)
     print(json.dumps({"test_loss": out["test_loss"]}))
     return 0
+
+
+def _scorer_mesh(args):
+    """dp mesh for sharded rescoring (replaces the reference's nj=5 job
+    array); each shard runs the full fused stack via shard_map."""
+    if getattr(args, "dp_shards", 1) <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(dp=args.dp_shards, tp=1)
 
 
 def cmd_score(args) -> int:
@@ -96,7 +111,8 @@ def cmd_score(args) -> int:
     if args.interpolation_flag:
         cfg2 = _model_cfg(args, len(vocab))
         params2, _ = load_checkpoint(args.inter_path)
-    scorer = BatchScorer(cfg, params, rcfg, cfg2, params2)
+    scorer = BatchScorer(cfg, params, rcfg, cfg2, params2,
+                         mesh=_scorer_mesh(args))
     nbest = load_nbest(args.nbest_list)
     context_map = None
     if args.context_file:
@@ -135,7 +151,7 @@ def cmd_rescore(args) -> int:
         carry_over=not args.no_carry_over, min_lmwt=args.min_lmwt,
         max_lmwt=args.max_lmwt,
     )
-    scorer = BatchScorer(cfg, params, rcfg)
+    scorer = BatchScorer(cfg, params, rcfg, mesh=_scorer_mesh(args))
     res = run_pipeline(
         args.lattices, args.words, scorer, vocab.word2idx, args.workdir, rcfg,
         arpa_lm=args.arpa, ref_text=args.ref, glm=args.glm,
@@ -203,6 +219,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--rng-impl", default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG for dropout/sampling keys; rbg = TPU-native")
+    t.add_argument("--dp-shards", type=int, default=1,
+                   help="data-parallel shards over the device mesh")
+    t.add_argument("--tp-shards", type=int, default=1,
+                   help="tensor-parallel shards (vocab/FFN/gate sharding)")
     t.add_argument("--save", default="model.ckpt")
     t.set_defaults(fn=cmd_train)
 
@@ -226,6 +246,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--model_var", default="none", choices=["none", "back", "XL"],
                    help="dev-scorer variants: back = backward LM, XL = "
                         "Transformer-XL cross-utterance memory")
+    s.add_argument("--dp-shards", type=int, default=1,
+                   help="shard hypothesis batches over a dp device mesh")
     s.add_argument("--context-file", default=None,
                    help="previous-decode context text: per-utterance "
                         "'utt text…' lines or one global line "
@@ -252,6 +274,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--asclite-clean", action="store_true",
                    help="drop hesitations/[noise]/<unk> from hyps "
                         "(score_asclite.sh:87-93)")
+    r.add_argument("--dp-shards", type=int, default=1,
+                   help="shard hypothesis batches over a dp device mesh")
     r.add_argument("--sanity-test", action="store_true",
                    help="reference --test true branch: rebuild lattices "
                         "without changing scores and verify the round trip "

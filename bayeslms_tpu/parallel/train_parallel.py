@@ -28,6 +28,10 @@ def make_sharded_train_step(trainer: Trainer, mesh: Mesh, params):
     step = jax.jit(
         trainer._step_impl,
         in_shardings=(p_sh, opt_sh, (h_sh, h_sh), b_sh, b_sh, rep, rep, rep),
+        # pin outputs too: without this GSPMD may emit the new hidden with a
+        # propagated (…, tp) sharding that then mismatches the declared input
+        # sharding when fed back on the next step
+        out_shardings=(p_sh, opt_sh, (h_sh, h_sh), rep, rep, rep, rep),
         donate_argnums=(0, 1),
     )
     return step, p_sh, b_sh, h_sh

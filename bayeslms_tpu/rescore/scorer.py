@@ -61,9 +61,9 @@ class BatchScorer:
     ):
         """``mesh``: optional jax Mesh with a 'dp' axis — hypothesis batches
         (and carry-over chains) shard over it, replacing the reference's
-        nj=5 process array with SPMD over ICI. Sharded mode keeps the
-        XLA compute paths (GSPMD partitions them natively; the opaque
-        pallas fast paths would force all-gathers)."""
+        nj=5 process array with SPMD over ICI. Sharded mode runs the FULL
+        fused single-chip stack per shard via shard_map (fused decode+CE,
+        pallas LSTM, flash attention) — see the mesh branch below."""
         self.cfg = cfg
         self.rcfg = rcfg
         self.mesh = mesh
@@ -90,7 +90,6 @@ class BatchScorer:
             and rcfg.mc_samples == 0
             and cfg.tied
             and fused_ce_ok(dim)
-            and mesh is None
         )
         if rcfg.mc_samples > 0:
             # MC-average inference draws posterior samples but must not
@@ -102,21 +101,54 @@ class BatchScorer:
             if rcfg.carry_over and not cfg.is_transformer:
                 raise ValueError("mc_samples requires carry_over=False")
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # shard_map (not GSPMD propagation): each dp shard runs the FULL
+            # single-chip compute path — fused decode+CE, pallas LSTM
+            # recurrence, flash attention — on its local batch columns.
+            # Under plain in_shardings the opaque pallas calls would force
+            # all-gathers, so mesh mode used to fall back to XLA paths;
+            # with shard_map the kernels are per-device and need nothing
+            # from GSPMD. Chains/batches split as contiguous column blocks.
+            from jax.sharding import PartitionSpec as P
 
             assert "dp" in mesh.axis_names, "scorer mesh needs a 'dp' axis"
             self._dp = mesh.shape["dp"]
-            rep = NamedSharding(mesh, P())
-            b3 = NamedSharding(mesh, P(None, None, "dp"))  # (n|U, T, B) batches
-            h3 = NamedSharding(mesh, P(None, "dp", None))  # (L, G, H) carries
-            self._carry_step = jax.jit(
-                self._carry_chunk_impl, static_argnums=(8,),
-                in_shardings=(rep, rep, b3, b3, b3, b3, (h3, h3), (h3, h3)),
-            )
-            self._bucket_step = jax.jit(
-                self._bucket_chunk_impl,
-                in_shardings=(rep, rep, b3, b3, b3, b3),
-            )
+            b3 = P(None, None, "dp")  # (n|U, T, B) batches
+            h3 = P(None, "dp", None)  # (L, G, H) carries
+            pk = P("dp", None)  # per-shard gather plans
+
+            def carry_sharded(params, params2, data, tgt, mask, ce_mask,
+                              h1, h2, N, *packs):
+                def body(p, p2, d, t, m, cm, c1, c2, *pks):
+                    return self._carry_chunk_impl(
+                        p, p2, d, t, m, cm, c1, c2, N,
+                        *(x[0] for x in pks)
+                    )
+
+                f = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), b3, b3, b3, b3, h3, h3)
+                    + (pk,) * len(packs),
+                    out_specs=(P(None, "dp"), h3, h3),
+                    check_vma=False,
+                )
+                return f(params, params2, data, tgt, mask, ce_mask, h1, h2, *packs)
+
+            def bucket_sharded(params, params2, data, tgt, mask, ce_mask, *packs):
+                def body(p, p2, d, t, m, cm, *pks):
+                    return self._bucket_chunk_impl(
+                        p, p2, d, t, m, cm, *(x[0] for x in pks)
+                    )
+
+                f = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), b3, b3, b3, b3) + (pk,) * len(packs),
+                    out_specs=P(None, "dp"),
+                    check_vma=False,
+                )
+                return f(params, params2, data, tgt, mask, ce_mask, *packs)
+
+            self._carry_step = jax.jit(carry_sharded, static_argnums=(8,))
+            self._bucket_step = jax.jit(bucket_sharded)
         else:
             self._dp = 1
             self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
@@ -179,6 +211,27 @@ class BatchScorer:
         wgt[:n] = ce_mask[r, t, c]
         seg[:n] = r * C + c
         return idx, wgt, seg
+
+    def _pack_args(self, ce_mask):
+        """Gather-plan args for the fused decode. Single device: (idx, w,
+        seg) over the flat global layout. Mesh: one pack PER dp SHARD over
+        its contiguous column block — flat indices and segment ids are
+        shard-local (the shard_map body sees only its slice) — stacked as
+        (dp, K) arrays, padded to the widest shard."""
+        if self.mesh is None:
+            i, w, s = self._pack_indices(ce_mask)
+            return jnp.asarray(i), jnp.asarray(w), jnp.asarray(s)
+        dp = self._dp
+        Cl = ce_mask.shape[2] // dp
+        packs = [self._pack_indices(ce_mask[:, :, s * Cl:(s + 1) * Cl])
+                 for s in range(dp)]
+        K = max(p[0].shape[0] for p in packs)
+        idx = np.zeros((dp, K), np.int32)
+        wgt = np.zeros((dp, K), np.float32)
+        seg = np.zeros((dp, K), np.int32)
+        for s, (i_, w_, s_) in enumerate(packs):
+            idx[s, : len(i_)], wgt[s, : len(w_)], seg[s, : len(s_)] = i_, w_, s_
+        return jnp.asarray(idx), jnp.asarray(wgt), jnp.asarray(seg)
 
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
@@ -465,17 +518,13 @@ class BatchScorer:
                 ]
                 out = np.stack([np.asarray(o) for o in outs])
             else:
-                extra = ()
-                if self.use_fused_ce:
-                    pidx, pw, pseg = self._pack_indices(ce_mask)
-                    extra = (jnp.asarray(pidx), jnp.asarray(pw), jnp.asarray(pseg))
-                with self._xla_only():
-                    out = np.asarray(
-                        self._bucket_step(
-                            self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
-                            jnp.asarray(mask), jnp.asarray(ce_mask), *extra,
-                        )
-                    )  # (n, Bc)
+                extra = self._pack_args(ce_mask) if self.use_fused_ce else ()
+                out = np.asarray(
+                    self._bucket_step(
+                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
+                        jnp.asarray(mask), jnp.asarray(ce_mask), *extra,
+                    )
+                )  # (n, Bc)
             for j in range(n):
                 chunk = group[j * Bc : (j + 1) * Bc]
                 for c, (key, i, _, _, _) in enumerate(chunk):
@@ -612,16 +661,12 @@ class BatchScorer:
                     data[u, :, col], tgt[u, :, col] = d, t
                     mask[u, :, col], ce_mask[u, :, col] = m, cm
                     slot_key[(u, g)] = k
-            extra = ()
-            if self.use_fused_ce:
-                pidx, pw, pseg = self._pack_indices(ce_mask)
-                extra = (jnp.asarray(pidx), jnp.asarray(pw), jnp.asarray(pseg))
-            with self._xla_only():
-                out, carry1, carry2 = self._carry_step(
-                    self.params, self.params2 if self.interp else self.params,
-                    jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                    jnp.asarray(ce_mask), carry1, carry2, N, *extra,
-                )
+            extra = self._pack_args(ce_mask) if self.use_fused_ce else ()
+            out, carry1, carry2 = self._carry_step(
+                self.params, self.params2 if self.interp else self.params,
+                jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
+                jnp.asarray(ce_mask), carry1, carry2, N, *extra,
+            )
             out = np.asarray(out)  # (U, G*N)
             for (u, g), k in slot_key.items():
                 for i in range(len(nbest[k])):
@@ -631,33 +676,6 @@ class BatchScorer:
 
         return self._assemble(nbest, scores)
 
-    def _xla_only(self):
-        """Under a mesh, disable the (opaque-to-GSPMD) pallas fast paths at
-        trace time so the step partitions instead of gathering. No-op on a
-        single device. Env gates are read when the per-instance jit traces;
-        caches keep the choice afterwards."""
-        import contextlib
-        import os as _os
-
-        if self.mesh is None:
-            return contextlib.nullcontext()
-
-        @contextlib.contextmanager
-        def ctx():
-            keys = ("BAYESLM_PALLAS_LSTM", "BAYESLM_PALLAS_ATTN")
-            old = {k: _os.environ.get(k) for k in keys}
-            for k in keys:
-                _os.environ[k] = "0"
-            try:
-                yield
-            finally:
-                for k, v in old.items():
-                    if v is None:
-                        _os.environ.pop(k, None)
-                    else:
-                        _os.environ[k] = v
-
-        return ctx()
 
     @staticmethod
     def _assemble(nbest, scores):
