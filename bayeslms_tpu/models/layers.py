@@ -67,6 +67,10 @@ class BayesDense(nn.Module):
         if self.use_fused is not None:
             return self.use_fused
         from ..ops.bayes_matmul import bayes_matmul_ok
+        from ..ops.kernel_gate import pallas_allowed
+
+        if not pallas_allowed():
+            return False
 
         M = 1
         for d in x.shape[:-1]:

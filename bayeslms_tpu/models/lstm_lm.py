@@ -156,6 +156,7 @@ class BayesLSTMCore(nn.Module):
         # shapes qualify; biases and odd shapes keep the XLA path. Same
         # distribution, different bits than jax.random.
         from ..ops.bayes_matmul import sample_noise, sample_noise_ok
+        from ..ops.kernel_gate import pallas_allowed
 
         eff = [dict(m) for m in means]
         if not deterministic and 1 <= pos <= 4:
@@ -169,7 +170,7 @@ class BayesLSTMCore(nn.Module):
                     (("w_hh", "w_hh"), ("w_ih", "w_ih"), ("b_hh", "b_hh"), ("b_ih", "b_ih"))
                 ):
                     lg = lp[lname]
-                    if sample_noise_ok(jnp.shape(lg)):
+                    if sample_noise_ok(jnp.shape(lg)) and pallas_allowed():
                         seed = jax.random.randint(
                             ks[i], (1,), 0, 2**31 - 1, dtype=jnp.int32
                         )

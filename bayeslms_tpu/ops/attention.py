@@ -44,7 +44,9 @@ def multihead_attention(
     1.46x at T=512, 2.27x at T=2048 vs the einsum path; opt out with
     BAYESLM_PALLAS_ATTN=0). Training keeps the differentiable einsum path.
     """
-    if causal and deterministic:
+    from .kernel_gate import pallas_allowed
+
+    if causal and deterministic and pallas_allowed():
         import os
 
         if os.environ.get("BAYESLM_PALLAS_ATTN", "1") != "0":
@@ -52,7 +54,7 @@ def multihead_attention(
 
             if pallas_attention_ok(q.shape[0], q.shape[2], nhead):
                 return causal_attention_pallas(q, k, v, nhead)
-    elif causal and not deterministic:
+    elif causal and not deterministic and pallas_allowed():
         # Differentiable flash attention with in-kernel dropout (custom VJP,
         # ops/attention_train_pallas.py). Measured in-model on v5e (full
         # train step, docs/ROUND2_NOTES.md): the kernel wins in isolation at

@@ -1,0 +1,33 @@
+"""Trace-time switch for the opaque Pallas fast paths.
+
+A Mosaic custom call is opaque to GSPMD: inside a jit partitioned with
+in_shardings, XLA cannot split it and instead all-gathers its operands onto
+every device — silently destroying dp/tp scaling. shard_map bodies have no
+such problem (the kernel runs per device on local shards).
+
+`no_pallas()` is entered while TRACING a GSPMD-partitioned computation
+(parallel/train_parallel.py wraps the tp>1 train step with it); every
+Pallas availability gate consults `pallas_allowed()`. Pure-dp meshes use a
+shard_map train step instead and keep all fused kernels.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+_disabled = False
+
+
+def pallas_allowed() -> bool:
+    return not _disabled
+
+
+@contextlib.contextmanager
+def no_pallas():
+    global _disabled
+    old = _disabled
+    _disabled = True
+    try:
+        yield
+    finally:
+        _disabled = old

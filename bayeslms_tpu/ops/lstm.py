@@ -80,7 +80,9 @@ def lstm_layer(
     """
     import os
 
-    if allow_pallas:
+    from .kernel_gate import pallas_allowed
+
+    if allow_pallas and pallas_allowed():
         from .lstm_pallas import lstm_layer_pallas, pallas_lstm_ok
 
         if os.environ.get("BAYESLM_PALLAS_LSTM", "1") != "0" and pallas_lstm_ok(
@@ -89,7 +91,7 @@ def lstm_layer(
             return lstm_layer_pallas(
                 x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
             )
-    else:
+    elif pallas_allowed():
         # Grad path: the custom-VJP fused recurrence keeps W_hh and the
         # (dh, dc) carries VMEM-resident through a reverse-time kernel.
         from .lstm_pallas import lstm_layer_pallas_train, pallas_lstm_ok

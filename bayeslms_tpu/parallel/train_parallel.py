@@ -25,8 +25,41 @@ def make_sharded_train_step(trainer: Trainer, mesh: Mesh, params):
     h_sh = hidden_sharding(mesh)
     rep = replicated(mesh)
 
+    if getattr(trainer, "use_shardmap_dp", False):
+        # Pure-dp mesh: the whole step runs as a shard_map body per device —
+        # full single-chip fused-kernel path on the local batch shard, grads
+        # pmean'ed inside (_step_impl dp_axis), identical replicated update
+        # everywhere. GSPMD never sees the pallas calls.
+        from jax.sharding import PartitionSpec as P
+
+        hP = P(None, "dp", None)
+        bP = P(None, "dp")
+
+        def body(p, o, h, d, t, lr, ks, k):
+            return trainer._step_impl(p, o, h, d, t, lr, ks, k, dp_axis="dp")
+
+        step = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), (hP, hP), bP, bP, P(), P(), P()),
+                out_specs=(P(), P(), (hP, hP), P(), P(), P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        return step, p_sh, b_sh, h_sh
+
+    # tp>1: GSPMD partitions the step (vocab/FFN/gate shardings); the opaque
+    # pallas fast paths are trace-disabled — GSPMD cannot split a Mosaic
+    # call and would all-gather its operands instead (ops/kernel_gate.py).
+    def gspmd_step(*args):
+        from ..ops.kernel_gate import no_pallas
+
+        with no_pallas():
+            return trainer._step_impl(*args)
+
     step = jax.jit(
-        trainer._step_impl,
+        gspmd_step,
         in_shardings=(p_sh, opt_sh, (h_sh, h_sh), b_sh, b_sh, rep, rep, rep),
         # pin outputs too: without this GSPMD may emit the new hidden with a
         # propagated (…, tp) sharding that then mismatches the declared input

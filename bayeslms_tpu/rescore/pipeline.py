@@ -126,27 +126,40 @@ def run_pipeline(
                    f"--acoustic-scale={rcfg.acwt}", lats_out, w2, g2, a2, ali2])
 
         def by_words(words_path, g_path, a_path):
+            # duplicate word sequences with distinct costs are legal in an
+            # N-best list (different lattice paths, same labels): aggregate
+            # every (lm, acoustic) pair per (utt, words) and compare as
+            # sorted multisets, not single members
             gsc, asc = _read_scores(g_path), _read_scores(a_path)
-            out = {}
+            out: Dict[tuple, list] = {}
+            n = 0
             for line in open(words_path):
                 parts = line.split()
                 k = parts[0]
                 utt = k[: k.rfind("-")]
-                out[(utt, tuple(parts[1:]))] = (gsc[k], asc[k])
-            return out
+                out.setdefault((utt, tuple(parts[1:])), []).append(
+                    (gsc[k], asc[k]))
+                n += 1
+            for v in out.values():
+                v.sort()
+            return out, n
 
-        before = by_words(words_int, lmwt_withlm, acwt)
-        after = by_words(w2, g2, a2)
+        before, n_before = by_words(words_int, lmwt_withlm, acwt)
+        after, _ = by_words(w2, g2, a2)
+
+        def close(va, vb):
+            return len(va) == len(vb) and all(
+                abs(a[0] - b[0]) <= 1e-3 and abs(a[1] - b[1]) <= 1e-3
+                for a, b in zip(va, vb))
+
         bad = [k for k, v in before.items()
-               if k not in after
-               or abs(after[k][0] - v[0]) > 1e-3
-               or abs(after[k][1] - v[1]) > 1e-3]
+               if k not in after or not close(after[k], v)]
         if bad:
             raise RuntimeError(
                 f"sanity test: {len(bad)} hypotheses changed scores in the "
                 f"lattice round trip (first: {bad[:3]})")
         res.n_utts = len({u for u, _ in before})
-        res.n_hyps = len(before)
+        res.n_hyps = n_before
         return res
 
     # -- stage 3 (early, needed by 2 and 4): ids -> words

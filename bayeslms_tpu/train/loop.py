@@ -95,18 +95,34 @@ class Trainer:
             and fused_ce_ok(_dim)
             and model_cfg.vocab_size >= 4096
         )
-        self.use_fused_ce_train = (
-            _fused_base and self.mesh is None and train_cfg.dp_shards <= 1
+        _tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+        _dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        # Pure-dp meshes run the train step as a shard_map over the batch
+        # axis (parallel/train_parallel.py): each shard executes the FULL
+        # single-chip fused-kernel path on its local batch (pallas calls are
+        # opaque to GSPMD and would otherwise force all-gathers). tp>1 stays
+        # on GSPMD partitioning with the pallas paths trace-disabled
+        # (ops/kernel_gate.py).
+        self.use_shardmap_dp = (
+            self.mesh is not None
+            and _tp == 1
+            and "dp" in self.mesh.axis_names
+            and train_cfg.batch_size % max(_dp, 1) == 0
         )
-        # Mesh variant (ops/ce_pallas.py fused_decode_ce_train_spmd): the
-        # same kernels per vocab shard inside shard_map, stitched with an
-        # online-logsumexp (pmax/psum) merge — no logit materialization per
-        # chip and no decoder all-gather. tp=1 degenerates to per-dp-shard
-        # single-chip fused CE.
+        self.use_fused_ce_train = _fused_base and (
+            (self.mesh is None and train_cfg.dp_shards <= 1)
+            or self.use_shardmap_dp
+        )
+        # GSPMD mesh variant (ops/ce_pallas.py fused_decode_ce_train_spmd):
+        # the same kernels per vocab shard inside shard_map, stitched with a
+        # logsumexp merge — no logit materialization per chip and no decoder
+        # all-gather. Requires even vocab/batch division.
         self.use_fused_ce_train_spmd = (
             _fused_base
             and self.mesh is not None
-            and model_cfg.vocab_size % self.mesh.shape["tp"] == 0
+            and not self.use_shardmap_dp
+            and model_cfg.vocab_size % _tp == 0
+            and train_cfg.batch_size % max(_dp, 1) == 0
         )
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_impl)
@@ -172,8 +188,17 @@ class Trainer:
         )
         return out, hidden, var
 
-    def _step_impl(self, params, opt_state, hidden, data, target, lr, kl_scale, step_key):
+    def _step_impl(self, params, opt_state, hidden, data, target, lr, kl_scale,
+                   step_key, dp_axis=None):
+        """``dp_axis``: set when running as a shard_map body over a dp mesh —
+        dropout streams fold in the shard index (independent masks per data
+        shard) while the WEIGHT sample key stays shared (one posterior draw
+        per optimizer step across the whole batch, reference semantics), and
+        gradients/metrics are pmean'ed before the update so every shard
+        applies the identical replicated step."""
         d_key, s_key = jax.random.split(step_key)
+        if dp_axis is not None:
+            d_key = jax.random.fold_in(d_key, jax.lax.axis_index(dp_axis))
         rngs = {"dropout": d_key, "sample": s_key}
 
         def loss_fn(p):
@@ -200,6 +225,11 @@ class Trainer:
             return mle + kl, (mle, kl, new_hidden)
 
         (loss, (mle, kl, new_hidden)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if dp_axis is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            loss = jax.lax.pmean(loss, dp_axis)
+            mle = jax.lax.pmean(mle, dp_axis)
+            kl = jax.lax.pmean(kl, dp_axis)
         params, opt_state, gnorm = sgd_momentum_step(
             params, grads, opt_state, lr, self.tcfg.clip, self.tcfg.momentum
         )

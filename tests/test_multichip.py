@@ -324,3 +324,76 @@ def test_cli_multichip_train_and_score(tmp_path, capsys):
     assert rc == 0
     lines = open(outfile).read().splitlines()
     assert len(lines) == 3 and lines[0].startswith("u1-1 ")
+
+
+def test_shardmap_dp_train_step_matches_single_device():
+    """Pure-dp meshes route the train step through shard_map (so each shard
+    keeps the full fused-kernel path); with dropout off, the pmean'ed
+    replicated update equals the single-device step to fp tolerance (only
+    the reduction order differs), and the weight-sample key stays shared."""
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.parallel.train_parallel import make_sharded_train_step, place
+    from bayeslms_tpu.train.loop import Trainer
+    from bayeslms_tpu.train.optim import init_opt_state
+
+    cfg = ModelConfig(model="LSTM", vocab_size=64, emsize=16, nhid=16,
+                      dropout=0.0, uncertainty="Bayesian", l_bayes_pos=2)
+    T, B = 8, 16
+    tcfg = TrainConfig(batch_size=B, seq_len=T)
+    rng = np.random.default_rng(4)
+    data = jnp.asarray(rng.integers(0, 64, (T, B)).astype(np.int32))
+    target = jnp.asarray(rng.integers(0, 64, (T, B)).astype(np.int32))
+    key = jax.random.key(5)
+    lr = jnp.asarray(0.1, jnp.float32)
+    ks = jnp.asarray(0.01, jnp.float32)
+
+    t0 = Trainer(cfg, tcfg)
+    s0 = t0.init_state(seed=9)
+    hidden = init_hidden(cfg.nlayers, B, cfg.nhid)
+    ref = t0._train_step(s0.params, s0.opt_state, hidden, data, target, lr, ks, key)
+
+    mesh = make_mesh(dp=8, tp=1)
+    t1 = Trainer(cfg, tcfg, mesh=mesh)
+    assert t1.use_shardmap_dp
+    s1 = t1.init_state(seed=9)
+    with mesh:
+        step, p_sh, b_sh, h_sh = make_sharded_train_step(t1, mesh, s1.params)
+        out = step(place(s1.params, p_sh), init_opt_state(place(s1.params, p_sh)),
+                   place(init_hidden(cfg.nlayers, B, cfg.nhid), (h_sh, h_sh)),
+                   place(data, b_sh), place(target, b_sh), lr, ks, key)
+
+    np.testing.assert_allclose(float(out[3]), float(ref[3]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        out[0], ref[0],
+    )
+
+
+def test_trainer_fit_shardmap_dp(tmp_path):
+    """Trainer.fit over a pure-dp mesh (shard_map step) still learns."""
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.data.corpus import Corpus
+    from bayeslms_tpu.train.loop import Trainer
+
+    words = ["<s>", "<unk>"] + [f"w{i}" for i in range(2, 12)]
+    (tmp_path / "words.txt").write_text(
+        "".join(f"{w} {i}\n" for i, w in enumerate(words)))
+    text = "\n".join("w2 w3 w4 w5" for _ in range(80)) + "\n"
+    for split in ("train", "valid", "test"):
+        (tmp_path / f"{split}.txt").write_text(text)
+    corpus = Corpus(str(tmp_path))
+    cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=8, nhid=8,
+                      dropout=0.1)
+    tr = Trainer(cfg, TrainConfig(lr=2.0, batch_size=8, seq_len=6, epochs=2,
+                                  dp_shards=8,
+                                  save=str(tmp_path / "m.ckpt")))
+    assert tr.use_shardmap_dp
+    _, out = tr.fit(corpus)
+    h = out["history"]
+    # the toy stream converges within epoch 1; assert learning happened
+    # (well below the uniform baseline log(12) = 2.48), not strict per-epoch
+    # descent
+    assert h[-1]["val_loss"] < 2.0

@@ -218,7 +218,14 @@ def test_flash_attention_train_via_multihead(train_attn_interpret, monkeypatch):
     """multihead_attention routes the causal non-deterministic path to the
     kernel (forced on; the auto default engages at T >= 1024) and stays
     differentiable."""
+    import bayeslms_tpu.ops.attention_train_pallas as atp_mod
+
     monkeypatch.setenv("BAYESLM_PALLAS_ATTN_TRAIN", "1")
+    # the availability gate is platform-based (False on the CPU test
+    # platform); force it so the routing branch itself (seed derivation,
+    # arg plumbing) actually executes under the interpreter
+    monkeypatch.setattr(atp_mod, "flash_attn_train_ok",
+                        lambda T, E, nh: True)
     T, B, E, h = 16, 2, 32, 4
     rng = np.random.default_rng(3)
     q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)

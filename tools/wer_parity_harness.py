@@ -351,10 +351,10 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
 
     failures = []
 
-    # (a) per-hypothesis NN scores: batched jitted scorer vs torch loop
-    our_nn = {f"{k}-{i + 1}": s for k, pairs in
-              scorer.score_nbest(nbest, w2i).items()
-              for i, (_, s) in enumerate(pairs)}
+    # (a) per-hypothesis NN scores: the pipeline's own nnlm.scores output
+    # (written by its batched jitted scorer pass) vs the torch loop
+    our_nn = {k: float(v) for k, v in
+              (l.split() for l in open(os.path.join(wd, "nnlm.scores")))}
     for k, v in ref_nn.items():
         if not np.isclose(our_nn[k], v, rtol=5e-4, atol=1e-4):
             failures.append(f"nn score {k}: ours {our_nn[k]:.6f} ref {v:.6f}")
