@@ -126,10 +126,21 @@ def cmd_score(args) -> int:
         for ln in lines:
             head, _, rest = ln.partition(" ")
             per_utt[head] = rest
-        if lines and all(k in nbest for k in per_utt):
+        unknown = [k for k in per_utt if k not in nbest]
+        if lines and not unknown:
             context_map = {k: per_utt.get(k, "") for k in nbest}
+        elif len(lines) == 1 and len(per_utt) == len(unknown) == 1:
+            # single line whose first field is not an utterance id: the
+            # reference's global-context format — one line spliced everywhere
+            context_map = {k: lines[0] for k in nbest}
         else:
-            context_map = {k: (lines[0] if lines else "") for k in nbest}
+            # a per-utterance file with unrecognized ids must ERROR, not
+            # silently fall back to splicing the first line (id included)
+            # into every hypothesis
+            print(f"context file: {len(unknown)} first fields are not "
+                  f"n-best utterance ids (e.g. {unknown[:3]}); fix the ids "
+                  "or use a single global-context line", file=sys.stderr)
+            return 1
     write_scores(scorer.score_nbest(nbest, vocab.word2idx,
                                     context_map=context_map), args.outfile)
     print(f"wrote {args.outfile}")

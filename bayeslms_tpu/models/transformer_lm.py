@@ -322,6 +322,11 @@ class VEncoderLayer(nn.Module):
                 kl = jnp.asarray(0.0)
             self.sow("losses", "kl", kl)
         src = self.norm2(src + self.drop(src2, deterministic=deterministic))
+        # cast back after norm2 too (layer norms run f32): without this each
+        # V layer re-promotes the residual stream and the downstream layers
+        # silently compute at f32 width
+        if self.dtype is not None:
+            src = src.astype(self.dtype)
         return src
 
 

@@ -34,11 +34,15 @@ def _tree_norm(tree) -> jax.Array:
 
 
 def _clip_by_total(tree, max_norm: float):
-    """Reference _clip (architect.py:11-20): scale by max_norm/(norm+1e-6)
-    when that coefficient is < 1. Returns (clipped_tree, coef)."""
+    """Reference _clip (architect.py:11-21): scaling is applied only when
+    max_norm/(norm+1e-6) < 1, but the RAW coefficient is returned either way
+    — and _backward_step_unrolled scales the implicit Hessian term by
+    eta*clip_coef unconditionally, so a small train-grad norm AMPLIFIES the
+    correction (coef >> 1). Returns (clipped_tree, raw_coef)."""
     norm = _tree_norm(tree)
-    coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
-    return jax.tree.map(lambda g: g * coef, tree), coef
+    coef = max_norm / (norm + 1e-6)
+    scale = jnp.minimum(coef, 1.0)
+    return jax.tree.map(lambda g: g * scale, tree), coef
 
 
 class Architect:

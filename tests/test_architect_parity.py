@@ -35,11 +35,14 @@ def loss_torch(w, a, batch):
     return ((w * a[0] - batch) ** 2).sum() + 0.5 * (a[1] ** 2) * (w**2).sum()
 
 
-def _setup():
-    w0 = np.array([0.3, -1.2, 0.7], np.float32)
+def _setup(scale=1.0):
+    # scale < 1 shrinks every gradient: at scale 1e-3 the train-grad norm is
+    # far below CLIP, so the reference's RAW clip coefficient is >> 1 and
+    # AMPLIFIES the implicit term (architect.py:21 returns it unclamped)
+    w0 = np.array([0.3, -1.2, 0.7], np.float32) * scale
     a0 = np.array([0.9, 0.2], np.float32)
-    train_b = np.array([0.5, 0.1, -0.4], np.float32)
-    valid_b = np.array([-0.2, 0.8, 0.3], np.float32)
+    train_b = np.array([0.5, 0.1, -0.4], np.float32) * scale
+    valid_b = np.array([-0.2, 0.8, 0.3], np.float32) * scale
     return w0, a0, train_b, valid_b
 
 
@@ -49,14 +52,18 @@ def _torch_virtual_step(w0, a0, train_b):
     loss = loss_torch(w, a, torch.tensor(train_b))
     (g,) = torch.autograd.grad(loss, [w])
     norm = g.norm(2)
-    coef = min(float(CLIP / (norm + 1e-6)), 1.0)
-    g = g * coef
+    coef = float(CLIP / (norm + 1e-6))  # reference returns the RAW coef
+    g = g * min(coef, 1.0)              # but scales only when < 1
     dtheta = g + WD * w.detach()
     return (w.detach() - ETA * dtheta).numpy(), coef
 
 
-def test_virtual_step_matches_torch():
-    w0, a0, train_b, _ = _setup()
+import pytest
+
+
+@pytest.mark.parametrize("scale", [1.0, 1e-3])
+def test_virtual_step_matches_torch(scale):
+    w0, a0, train_b, _ = _setup(scale)
     arch = Architect(loss_jax, w_lr=ETA, network_weight_decay=WD,
                      network_clip=CLIP, unrolled=True)
     new_p, coef = arch.virtual_step({"w": jnp.asarray(w0)}, jnp.asarray(a0),
@@ -64,13 +71,17 @@ def test_virtual_step_matches_torch():
     ref_p, ref_coef = _torch_virtual_step(w0, a0, train_b)
     np.testing.assert_allclose(np.asarray(new_p["w"]), ref_p, rtol=1e-6)
     np.testing.assert_allclose(float(coef), ref_coef, rtol=1e-6)
+    if scale < 1.0:
+        assert ref_coef > 1.0, "small-grad case must exercise the raw coef"
 
 
-def test_unrolled_arch_grad_matches_torch_recipe():
+@pytest.mark.parametrize("scale", [1.0, 1e-3])
+def test_unrolled_arch_grad_matches_torch_recipe(scale):
     """Full second-order rule with the HVP computed by the reference's own
     finite-difference recipe in torch (r=1e-2) — our exact HVP must agree to
-    within the finite-difference error."""
-    w0, a0, train_b, valid_b = _setup()
+    within the finite-difference error. scale=1e-3 exercises the raw
+    (unclamped) clip coefficient amplifying the implicit term."""
+    w0, a0, train_b, valid_b = _setup(scale)
 
     # ---- torch reference (architect.py:75-139) ----
     new_w, clip_coef = _torch_virtual_step(w0, a0, train_b)
@@ -79,7 +90,7 @@ def test_unrolled_arch_grad_matches_torch_recipe():
     vloss = loss_torch(wt, at, torch.tensor(valid_b))
     dalpha, dtheta = torch.autograd.grad(vloss, [at, wt])
     norm = dtheta.norm(2)
-    coef_v = min(float(CLIP / (norm + 1e-6)), 1.0)
+    coef_v = min(float(CLIP / (norm + 1e-6)), 1.0)  # v itself IS clipped
     vector = dtheta * coef_v
 
     r = 1e-2

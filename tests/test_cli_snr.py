@@ -109,3 +109,31 @@ def test_cli_score_context_file(corpus_dir):
     assert base != g  # context conditioning changed the scores
     assert g != p
     assert set(base) == set(g) == set(p) == {"u1-1", "u2-1"}
+
+
+def test_cli_score_context_file_bad_ids_errors(tmp_path, capsys):
+    """A per-utterance context file with unknown utterance ids must ERROR
+    rather than silently splicing its first line into every hypothesis."""
+    from bayeslms_tpu import ModelConfig, build_model, init_params
+    from bayeslms_tpu.core.checkpoint import save_checkpoint
+
+    words = ["<s>", "<unk>"] + [f"w{i}" for i in range(6)]
+    (tmp_path / "words.txt").write_text(
+        "".join(f"{w} {i}\n" for i, w in enumerate(words)))
+    cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=8, nhid=8,
+                      dropout=0.0)
+    params = init_params(build_model(cfg), cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params, cfg)
+    (tmp_path / "nbest.txt").write_text("u1-1 w0 w1\nu2-1 w2\n")
+    (tmp_path / "ctx.txt").write_text("u1 w3 w4\nu2_MISSPELLED w5\n")
+
+    rc = main([
+        "score", "--nbest-list", str(tmp_path / "nbest.txt"),
+        "--vocabulary", str(tmp_path / "words.txt"), "--model-path", ckpt,
+        "--model", "LSTM", "--emsize", "8", "--nhid", "8",
+        "--splice-len", "2", "--context-file", str(tmp_path / "ctx.txt"),
+        "--outfile", str(tmp_path / "out.txt"),
+    ])
+    assert rc == 1
+    assert "not n-best utterance ids" in capsys.readouterr().err

@@ -171,3 +171,22 @@ def test_legacy_cores_train_smoke():
         assert bool(jnp.isfinite(out[3])), cfg
         if cfg.l_v_legacy:
             assert float(out[5]) != 0.0  # VLSTM KL flows into the loss
+
+
+def test_variational_tm_stays_bf16():
+    """VEncoderLayer must cast back to the compute dtype after norm2 —
+    otherwise every V layer silently re-promotes the stream to f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayeslms_tpu import ModelConfig, build_model, init_params
+
+    cfg = ModelConfig(model="Transformer", vocab_size=64, emsize=16, nhid=32,
+                      nlayers=2, nhead=2, dropout=0.0,
+                      uncertainty="Variational", t_v_pos=3,
+                      compute_dtype="bfloat16")
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=8, batch=2)
+    h = model.apply({"params": params}, jnp.zeros((8, 2), jnp.int32),
+                    deterministic=True, return_hidden=True)
+    assert h.dtype == jnp.bfloat16

@@ -276,3 +276,15 @@ def test_wer_overlapping_speakers(tmp_path):
     out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
                          capture_output=True, text=True).stdout
     assert "%WER 20.00 [ 1 / 5, 0 ins, 0 del, 1 sub ]" in out, out
+
+
+def test_wer_duplicate_ref_lines_deduped(tmp_path):
+    """Exact duplicate ref lines (concatenated ref files) must not become
+    phantom overlap streams that turn every word into a deletion."""
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 a b c\nu1 a b c\nu2 x y\n")  # u1 duplicated verbatim
+    hyp.write_text("u1 a b c\nu2 x y\n")
+    out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
+                         capture_output=True, text=True).stdout
+    assert "%WER 0.00 [ 0 / 5" in out

@@ -199,6 +199,13 @@ inline WerCounts align_wer_multi(const std::vector<std::vector<std::string>>& re
     states *= dims[k];
   }
   const size_t H = hyp.size();
+  // product-space size guard: (H+1)*prod(R_k+1) cells; four ~50-word
+  // streams would need GBs where asclite prunes — fail with a clear
+  // message instead of thrashing
+  if (states > (50u * 1000 * 1000) / (H + 1))
+    die("align_wer_multi: overlap DP too large (" +
+        std::to_string(states) + " states x " + std::to_string(H + 1) +
+        " hyp positions); split the segment or reduce overlapping speakers");
   const int INF = 1 << 29;
   std::vector<int> cost(states * (H + 1), INF);
   auto at = [&](size_t s, size_t j) -> int& { return cost[s * (H + 1) + j]; };

@@ -25,7 +25,16 @@ static std::map<std::string, std::vector<std::vector<std::string>>> read_trans(
   while (std::getline(f, line)) {
     auto w = split(line);
     if (w.empty()) continue;
-    m[w[0]].push_back(std::vector<std::string>(w.begin() + 1, w.end()));
+    std::vector<std::string> words(w.begin() + 1, w.end());
+    auto& lists = m[w[0]];
+    // exact duplicate lines (same id AND same words) are accidental —
+    // concatenated ref files — and must not become phantom overlap
+    // streams; distinct word sequences under one id are real overlapping
+    // speakers (asclite format)
+    bool dup = false;
+    for (const auto& prev : lists)
+      if (prev == words) { dup = true; break; }
+    if (!dup) lists.push_back(std::move(words));
   }
   return m;
 }
