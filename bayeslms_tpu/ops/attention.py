@@ -4,9 +4,10 @@ Functional equivalents of the reference's self-built MultiheadAttention
 (model.py:836-928): q scaled by head_dim^-0.5, additive causal mask, softmax,
 attention-prob dropout, output projection. The reference materializes the
 (B*h, T, T) score matrix with bmm; here the same math is expressed with
-batched einsums that XLA fuses and tiles onto the MXU. A Pallas
-flash-attention kernel (ops/flash_attention.py) provides the long-sequence
-fast path; at the recipe's T=100 the XLA path is already compute-bound.
+batched einsums that XLA fuses and tiles onto the MXU. Pallas flash
+attention provides the fast paths: ops/attention_pallas.py (forward-only,
+deterministic scoring/eval) and ops/attention_train_pallas.py (custom VJP
+with in-kernel dropout, auto-enabled at long context).
 
 Layout: time-major (T, B, E) to match the rest of the stack.
 """
