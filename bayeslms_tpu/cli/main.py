@@ -127,7 +127,9 @@ def cmd_score(args) -> int:
             head, _, rest = ln.partition(" ")
             per_utt[head] = rest
         unknown = [k for k in per_utt if k not in nbest]
-        if lines and not unknown:
+        if not lines:
+            context_map = None  # empty file = no context
+        elif not unknown:
             context_map = {k: per_utt.get(k, "") for k in nbest}
         elif len(lines) == 1 and len(per_utt) == len(unknown) == 1:
             # single line whose first field is not an utterance id: the

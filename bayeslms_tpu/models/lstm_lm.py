@@ -479,11 +479,13 @@ class GPLSTMCore(nn.Module):
             return self.std_core(x, hidden, deterministic, step_mask)
         if self.kind == "len2":
             out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask)
-            out1, h_b, c_b = self.std1(out0, h0[1], c0[1], step_mask)
+            out1, h_b, c_b = self.std1(out0, h0[1], c0[1], step_mask,
+                                       deterministic)
             hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
             kls = [self._cell_kl(self.cell0)]
         elif self.kind == "len3":
-            out0, h_a, c_a = self.std0(x, h0[0], c0[0], step_mask)
+            out0, h_a, c_a = self.std0(x, h0[0], c0[0], step_mask,
+                                       deterministic)
             out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask)
             hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
             kls = [self._cell_kl(self.cell1)]
@@ -513,9 +515,12 @@ class _StdLSTMLayer(nn.Module):
     hidden_size: int
 
     @nn.compact
-    def __call__(self, x, h0, c0, step_mask=None):
+    def __call__(self, x, h0, c0, step_mask=None, deterministic: bool = True):
         p = _layer_params(self, "l", 4, self.input_size, self.hidden_size)
-        return lstm_layer(x, h0, c0, p, step_mask=step_mask)
+        # deterministic (eval/scoring) -> forward-only pallas recurrence;
+        # grad paths take the custom-VJP train recurrence
+        return lstm_layer(x, h0, c0, p, step_mask=step_mask,
+                          allow_pallas=deterministic)
 
 
 class GaussLSTMLegacyCore(nn.Module):
@@ -624,7 +629,8 @@ class GaussLSTMLegacyCore(nn.Module):
             self.weight_ih_mean_2, self.weight_hh_mean_2,
             self.bias_ih_mean_2, self.bias_hh_mean_2,
         )
-        ys2, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask)
+        ys2, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask,
+                                   allow_pallas=deterministic)
         return ys2, (jnp.stack([h1T, h2T]), jnp.stack([c1T, c2T]))
 
 
@@ -673,12 +679,14 @@ class VLSTMLegacyCore(nn.Module):
             self.weight_ih_mean_1, self.weight_hh_mean_1,
             self.bias_ih_mean_1, self.bias_hh_mean_1,
         )
-        ys1, h1T, c1T = lstm_layer(x, h0[0], c0[0], p1, step_mask=step_mask)
+        ys1, h1T, c1T = lstm_layer(x, h0[0], c0[0], p1, step_mask=step_mask,
+                                   allow_pallas=deterministic)
         p2 = LSTMParams(
             self.weight_ih_mean_2, self.weight_hh_mean_2,
             self.bias_ih_mean_2, self.bias_hh_mean_2,
         )
-        out, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask)
+        out, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask,
+                                   allow_pallas=deterministic)
 
         if self.active:
             pre = out  # KL reads the PRE-noise output (model.py:2664-2672)

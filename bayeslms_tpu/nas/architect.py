@@ -27,19 +27,13 @@ class ArchitectState(NamedTuple):
     opt_state: optax.OptState
 
 
-def _tree_norm(tree) -> jax.Array:
-    return jnp.sqrt(
-        sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(tree))
-    )
-
-
 def _clip_by_total(tree, max_norm: float):
     """Reference _clip (architect.py:11-21): scaling is applied only when
     max_norm/(norm+1e-6) < 1, but the RAW coefficient is returned either way
     — and _backward_step_unrolled scales the implicit Hessian term by
     eta*clip_coef unconditionally, so a small train-grad norm AMPLIFIES the
     correction (coef >> 1). Returns (clipped_tree, raw_coef)."""
-    norm = _tree_norm(tree)
+    norm = optax.global_norm(tree)
     coef = max_norm / (norm + 1e-6)
     scale = jnp.minimum(coef, 1.0)
     return jax.tree.map(lambda g: g * scale, tree), coef

@@ -168,6 +168,10 @@ class BatchScorer:
                 )
             if self.interp or rcfg.mc_samples:
                 raise ValueError("xl_mems is incompatible with interpolation/MC")
+            if rcfg.splice_len:
+                raise ValueError(
+                    "xl_mems provides its own cross-utterance context; it is "
+                    "incompatible with splice_len/context files")
             self._xl_mem_step = jax.jit(self._xl_mem_impl)
             self._xl_score_step = jax.jit(self._xl_score_impl)
             self._tm_step = jax.jit(self._tm_impl)
@@ -348,6 +352,10 @@ class BatchScorer:
                 if hyps:
                     last[label] = (last.get(label, "") + " " + hyps[0]).strip()
         if self.is_tm and self.rcfg.xl_mems:
+            if context_map:
+                raise ValueError(
+                    "xl_mems provides its own cross-utterance context; "
+                    "context_map would be silently ignored")
             return self._score_xl(nbest, word2idx, stream_fn)
         if self.is_tm or not self.rcfg.carry_over:
             return self._score_bucketed(nbest, word2idx, context_map)
@@ -420,7 +428,13 @@ class BatchScorer:
             for i in range(len(hyps)):
                 scores[(k, i)] = float(out[i])
             if enc:
-                last[label] = enc[0][0][: rc.max_hyp_len]
+                # over-long previous utterance: keep BOS + the TRAILING
+                # tokens (the words adjacent to the next utterance), like
+                # the splice path's context.split()[-splice_len:]
+                ids = enc[0][0]
+                if len(ids) > rc.max_hyp_len:
+                    ids = [ids[0]] + ids[-(rc.max_hyp_len - 1):]
+                last[label] = ids
         return self._assemble(nbest, scores)
 
     def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,

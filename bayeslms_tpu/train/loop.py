@@ -79,10 +79,10 @@ class Trainer:
             self.mesh = make_mesh(dp=train_cfg.dp_shards, tp=1)
         # Fused decode+CE training path (ops/ce_pallas.py custom VJP): the
         # (T*B, V) logits never hit HBM in forward OR backward — backward
-        # recomputes score tiles from saved (max, sumexp) stats. Single-chip
-        # only: under a mesh the XLA CE stays (GSPMD partitions it natively,
-        # while an opaque pallas call would force an all-gather of the
-        # vocab-sharded decoder). Opt out with BAYESLM_FUSED_CE_TRAIN=0.
+        # recomputes score tiles from saved (max, sumexp) stats. Applies
+        # single-chip and inside the shard_map dp step; tp>1 GSPMD meshes use
+        # the vocab-sharded variant below. Opt out with
+        # BAYESLM_FUSED_CE_TRAIN=0.
         import os as _os
 
         from ..ops.ce_pallas import fused_ce_ok
@@ -125,7 +125,19 @@ class Trainer:
             and train_cfg.batch_size % max(_dp, 1) == 0
         )
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(self._eval_impl)
+
+        def _eval_gated(*args):
+            # under a tp>1 mesh, eval runs GSPMD-partitioned (params carry
+            # tensor-parallel shardings) — keep the opaque pallas eval
+            # kernels out of the trace like the train step does
+            if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
+                from ..ops.kernel_gate import no_pallas
+
+                with no_pallas():
+                    return self._eval_impl(*args)
+            return self._eval_impl(*args)
+
+        self._eval_step = jax.jit(_eval_gated)
         self._shard_ready = False
         # Prior-mean KL (TrainConfig.prior_kl): prior param tree passed to
         # apply as the "priors" collection; Bayes modules read their own
