@@ -11,12 +11,21 @@ set -euo pipefail
 stage=1
 data=data/ami
 expdir=exp/ami_lstm
+# hyperparameters overridable via --flags, like the reference's
+# parse_options surface (run_nnlm_ami_lstm.sh:19-24)
+emsize=1024
+nhid=1024
+nlayers=2
+seq_len=100
+batch_size=32
+epochs=32
 uncertainty=none          # none | Bayesian | Gaussian | Variational
 L_bayes_pos=0
 L_gauss_pos=00
 L_v_pos=00
 lr=5
 prior_flags=""
+platform=""       # e.g. cpu for smoke runs off-TPU
 lattices=""
 arpa=""
 ref=""
@@ -26,19 +35,19 @@ ref=""
 mkdir -p "$expdir"
 
 if [ "$stage" -le 1 ]; then
-  python -m bayeslms_tpu.cli.main train \
-    --data "$data" --model LSTM --emsize 1024 --nhid 1024 --nlayers 2 \
+  python -m bayeslms_tpu.cli.main ${platform:+--platform "$platform"} train \
+    --data "$data" --model LSTM --emsize "$emsize" --nhid "$nhid" --nlayers "$nlayers" \
     --dropout 0.2 --uncertainty "$uncertainty" --L_bayes_pos "$L_bayes_pos" \
     --L_gauss_pos "$L_gauss_pos" --L_v_pos "$L_v_pos" \
-    --lr "$lr" --batch-size 32 --seq_len 100 --epochs 32 --clip 1.0 \
+    --lr "$lr" --batch-size "$batch_size" --seq_len "$seq_len" --epochs "$epochs" --clip 1.0 \
     $prior_flags --save "$expdir/model.ckpt" | tee "$expdir/train.log"
 fi
 
 if [ "$stage" -le 2 ] && [ -n "$lattices" ]; then
-  python -m bayeslms_tpu.cli.main rescore \
+  python -m bayeslms_tpu.cli.main ${platform:+--platform "$platform"} rescore \
     --lattices "$lattices" --words "$data/words.txt" \
     --model-path "$expdir/model.ckpt" --workdir "$expdir/rescore" \
-    --model LSTM --emsize 1024 --nhid 1024 --nlayers 2 \
+    --model LSTM --emsize "$emsize" --nhid "$nhid" --nlayers "$nlayers" \
     --uncertainty "$uncertainty" --L_bayes_pos "$L_bayes_pos" \
     --N 20 --acwt 0.1 --min-lmwt 7 --max-lmwt 15 \
     ${arpa:+--arpa "$arpa"} ${ref:+--ref "$ref"} | tee "$expdir/rescore.log"
