@@ -14,9 +14,8 @@ Reference behaviors reproduced (train.py):
 
 TPU notes: one jitted step per (train/eval) graph; LR and KL scale are step
 arguments so schedule changes never recompile; epochs stream pre-stacked
-static-shape windows. Training uses full windows only (the reference also
-steps on a final ragged window; at AMI scale this is <0.1% of tokens/epoch —
-eval keeps the ragged tail so PPL is token-exact).
+static-shape windows, and the final ragged window (reference train.py:315-316)
+runs through a padded+masked step variant so the schedule is token-exact.
 """
 
 from __future__ import annotations
@@ -125,6 +124,9 @@ class Trainer:
             and train_cfg.batch_size % max(_dp, 1) == 0
         )
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        # Masked variant for the epoch's final ragged window — built lazily
+        # (one extra compile only when the corpus actually has a ragged tail).
+        self._train_step_masked = None
 
         def _eval_gated(*args):
             # under a tp>1 mesh, eval runs GSPMD-partitioned (params carry
@@ -201,17 +203,28 @@ class Trainer:
         return out, hidden, var
 
     def _step_impl(self, params, opt_state, hidden, data, target, lr, kl_scale,
-                   step_key, dp_axis=None):
+                   step_key, dp_axis=None, mask=None):
         """``dp_axis``: set when running as a shard_map body over a dp mesh —
         dropout streams fold in the shard index (independent masks per data
         shard) while the WEIGHT sample key stays shared (one posterior draw
         per optimizer step across the whole batch, reference semantics), and
         gradients/metrics are pmean'ed before the update so every shard
-        applies the identical replicated step."""
+        applies the identical replicated step.
+
+        ``mask``: (T, B) 0/1 for the epoch's final ragged window — the
+        reference steps on it (train.py:315-316) with CE averaged over the
+        real tokens and the KL scale unchanged (fixed ``args.seq_len``). The
+        window is padded to static T; causality (LSTM forward recurrence /
+        TM causal attention) makes the masked CE gradient exact."""
         d_key, s_key = jax.random.split(step_key)
         if dp_axis is not None:
             d_key = jax.random.fold_in(d_key, jax.lax.axis_index(dp_axis))
         rngs = {"dropout": d_key, "sample": s_key}
+
+        def _mean(ce):
+            if mask is None:
+                return ce.mean()
+            return (ce * mask).sum() / jnp.maximum(mask.sum(), 1)
 
         def loss_fn(p):
             if self.use_fused_ce_train:
@@ -221,7 +234,7 @@ class Trainer:
                 ce = fused_decode_ce_train(
                     out, p["embedding"], p["decoder_b"], target
                 )
-                mle = ce.mean()
+                mle = _mean(ce)
             elif self.use_fused_ce_train_spmd:
                 from ..ops.ce_pallas import fused_decode_ce_train_spmd
 
@@ -229,10 +242,10 @@ class Trainer:
                 ce = fused_decode_ce_train_spmd(
                     out, p["embedding"], p["decoder_b"], target, self.mesh
                 )
-                mle = ce.mean()
+                mle = _mean(ce)
             else:
                 logits, new_hidden, var = self._apply_train(p, data, hidden, rngs)
-                mle, _ = cross_entropy(logits, target)
+                mle, _ = cross_entropy(logits, target, mask)
             kl = sum_losses(var.get("losses", {})) * kl_scale
             return mle + kl, (mle, kl, new_hidden)
 
@@ -279,12 +292,30 @@ class Trainer:
         step, p_sh, b_sh, h_sh = make_sharded_train_step(self, self.mesh, params)
         self._train_step = step
         self._p_sh, self._b_sh, self._h_sh = p_sh, b_sh, h_sh
+        self._masked_factory = lambda: make_sharded_train_step(
+            self, self.mesh, params, masked=True
+        )[0]
         self._shard_ready = True
+
+    def _get_masked_step(self):
+        if self._train_step_masked is None:
+            if self.mesh is not None:
+                self._train_step_masked = self._masked_factory()
+            else:
+                def masked(params, opt_state, hidden, data, target, lr,
+                           kl_scale, step_key, mask):
+                    return self._step_impl(
+                        params, opt_state, hidden, data, target, lr, kl_scale,
+                        step_key, mask=mask,
+                    )
+
+                self._train_step_masked = jax.jit(masked, donate_argnums=(0, 1))
+        return self._train_step_masked
 
     # ------------------------------------------------------------------ epoch
     def run_epoch(self, state: TrainerState, train_rows: np.ndarray, epoch_key, log=print):
         tcfg = self.tcfg
-        data_all, tgt_all = windows(train_rows, tcfg.seq_len)
+        data_all, tgt_all, tail = windows(train_rows, tcfg.seq_len, drop_ragged=False)
         kl_scale = tcfg.seq_len / train_rows.shape[0]
         hidden = init_hidden(self.mcfg.nlayers, train_rows.shape[1], self.mcfg.nhid)
         self._ensure_sharded(state.params)
@@ -321,6 +352,22 @@ class Trainer:
                     f"| ppl {math.exp(min(cur, 30)):8.2f}"
                 )
                 t0 = time.time()
+        if tail is not None:
+            # Final ragged window, padded to static seq_len + masked CE
+            # (reference train.py:315-316 steps on it; KL scale unchanged).
+            d_t, t_t = tail
+            cur, bsz = d_t.shape
+            L = tcfg.seq_len
+            data_p = np.zeros((L, bsz), dtype=train_rows.dtype)
+            tgt_p = np.zeros((L, bsz), dtype=train_rows.dtype)
+            m_p = np.zeros((L, bsz), dtype=np.float32)
+            data_p[:cur], tgt_p[:cur], m_p[:cur] = d_t, t_t, 1.0
+            params, opt_state, hidden, loss, mle, kl, gnorm = self._get_masked_step()(
+                params, opt_state, hidden,
+                jnp.asarray(data_p), jnp.asarray(tgt_p),
+                jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+                jax.random.fold_in(epoch_key, n), jnp.asarray(m_p),
+            )
         state.params, state.opt_state = params, opt_state
         return state
 

@@ -85,7 +85,7 @@ def test_trainer_fit_with_dp_shards(tmp_path):
             self.test = self.train[:400].copy()
 
     cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=12, nhid=12, dropout=0.0)
-    tcfg = TrainConfig(lr=1.0, batch_size=8, eval_batch_size=4, epochs=2,
+    tcfg = TrainConfig(lr=1.0, batch_size=8, eval_batch_size=4, epochs=3,
                        seq_len=10, log_interval=10**9,
                        save=str(tmp_path / "m.ckpt"), dp_shards=4)
     trainer = Trainer(cfg, tcfg)
@@ -397,3 +397,25 @@ def test_trainer_fit_shardmap_dp(tmp_path):
     # (well below the uniform baseline log(12) = 2.48), not strict per-epoch
     # descent
     assert h[-1]["val_loss"] < 2.0
+
+
+def test_ragged_window_gspmd_mesh(tmp_path):
+    """run_epoch over a dp=4 x tp=2 GSPMD mesh with a ragged final window:
+    the masked GSPMD step variant compiles and produces finite params."""
+    import jax
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.data.corpus import batchify
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.train.loop import Trainer
+
+    mesh = make_mesh(dp=4, tp=2)
+    cfg = ModelConfig(model="LSTM", vocab_size=32, emsize=16, nhid=16, dropout=0.0)
+    tcfg = TrainConfig(lr=0.5, batch_size=8, seq_len=10, log_interval=10**9,
+                       save=str(tmp_path / "m.ckpt"))
+    trainer = Trainer(cfg, tcfg, mesh=mesh)
+    assert not trainer.use_shardmap_dp  # tp=2 -> GSPMD regime
+    state = trainer.init_state()
+    rows = batchify(np.arange(37 * 8, dtype=np.int32) % 31 + 1, 8)  # ragged tail 6
+    state = trainer.run_epoch(state, rows, jax.random.key(0), log=lambda *a: None)
+    leaves = jax.tree.leaves(jax.device_get(state.params))
+    assert all(np.isfinite(l).all() for l in leaves)

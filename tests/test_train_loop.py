@@ -179,3 +179,74 @@ def test_prior_kl_pulls_means_toward_prior(tmp_path):
                    for k in keys)
 
     assert dist_after_step(True) < dist_after_step(False)
+
+
+def test_ragged_final_window_matches_unpadded_step(tmp_path):
+    """The epoch's final ragged window (reference train.py:315-316) is run
+    padded+masked; its parameter update must equal an unpadded short-window
+    step exactly (causality: masked positions cannot influence real ones)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayeslms_tpu.data.corpus import batchify, windows
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8, dropout=0.0)
+    tcfg = TrainConfig(
+        lr=0.5, batch_size=4, eval_batch_size=4, epochs=1, seq_len=10,
+        log_interval=10**9, save=str(tmp_path / "m.ckpt"),
+    )
+    trainer = Trainer(cfg, tcfg)
+    state = trainer.init_state()
+    p0 = jax.tree.map(lambda x: x.copy(), state.params)
+
+    rng = np.random.default_rng(0)
+    stream = rng.integers(1, 20, size=37 * 4).astype(np.int32)
+    rows = batchify(stream, 4)  # 37 rows -> 3 full windows + ragged tail of 6
+    d_all, t_all, tail = windows(rows, 10, drop_ragged=False)
+    assert d_all.shape[0] == 3 and tail is not None and tail[0].shape[0] == 6
+
+    epoch_key = jax.random.key(123)
+    state = trainer.run_epoch(state, rows, epoch_key, log=lambda *a: None)
+
+    # Manual replication: full windows through the plain step, then the
+    # UNPADDED ragged step through _step_impl directly (no mask, short T).
+    params, opt = p0, trainer.init_state().opt_state
+    opt = type(opt)(momentum=jax.tree.map(jnp.zeros_like, p0))
+    hidden = init_hidden(cfg.nlayers, 4, cfg.nhid)
+    kl_scale = 10 / rows.shape[0]
+    for b in range(3):
+        params, opt, hidden, *_ = trainer._step_impl(
+            params, opt, hidden, jnp.asarray(d_all[b]), jnp.asarray(t_all[b]),
+            jnp.asarray(tcfg.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+            jax.random.fold_in(epoch_key, b),
+        )
+    params, opt, hidden, *_ = trainer._step_impl(
+        params, opt, hidden, jnp.asarray(tail[0]), jnp.asarray(tail[1]),
+        jnp.asarray(tcfg.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+        jax.random.fold_in(epoch_key, 3),
+    )
+    ref_leaves, treedef = jax.tree.flatten(jax.device_get(params))
+    got_leaves = treedef.flatten_up_to(jax.device_get(state.params))
+    paths = [jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    for name, r, g in zip(paths, ref_leaves, got_leaves):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(r, np.float64),
+            rtol=2e-4, atol=2e-6, err_msg=name,
+        )
+
+
+def test_ragged_final_window_transformer_fit(tmp_path):
+    """TM fit over a corpus with a ragged tail stays finite and learns."""
+    cfg = ModelConfig(
+        model="Transformer", vocab_size=20, emsize=8, nhid=16, nlayers=1,
+        nhead=2, dropout=0.0,
+    )
+    tcfg = TrainConfig(
+        lr=0.5, batch_size=4, eval_batch_size=4, epochs=2, seq_len=10,
+        log_interval=10**9, save=str(tmp_path / "m.ckpt"),
+    )
+    trainer = Trainer(cfg, tcfg)
+    state, out = trainer.fit(TinyCorpus(V=20, n=1491), log=lambda *a: None)
+    assert math.isfinite(out["test_loss"])
+    assert out["history"][-1]["val_loss"] < math.log(20)
