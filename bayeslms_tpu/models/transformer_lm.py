@@ -431,7 +431,9 @@ class TransformerLM(nn.Module):
             ).astype(jnp.float32)
             pos_offset = ml  # number of REAL memory tokens
         else:
-            mask = causal_mask(T)
+            # None = implicit causal: multihead_attention owns the mask and
+            # the Pallas flash routes stay eligible (ops/attention.py).
+            mask = None
             pos_offset = None
 
         x = jnp.take(self.embedding, tokens, axis=0).astype(dtype) * math.sqrt(cfg.emsize)

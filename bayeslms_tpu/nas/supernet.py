@@ -126,6 +126,10 @@ class TransformerSupernet(nn.Module):
         """arch_weights: (nlayers, 1, 2) logits; sampled per forward."""
         cfg = self.cfg
         T = tokens.shape[0]
+        # Explicit mask deliberately pins the differentiable einsum attention
+        # path (ops/attention.py masking contract): the architect's unrolled
+        # second-order step differentiates through this forward twice, and
+        # the flash-train custom VJP has no JVP rule.
         mask = causal_mask(T)
         if gumbel_key is None:
             w = jax.nn.softmax(arch_weights, axis=-1)

@@ -44,10 +44,19 @@ def multihead_attention(
     default ON (measured on v5e, E=512/8 heads/B=20: parity at T=100,
     1.46x at T=512, 2.27x at T=2048 vs the einsum path; opt out with
     BAYESLM_PALLAS_ATTN=0). Training keeps the differentiable einsum path.
+
+    Masking contract: with ``causal=True`` and ``attn_mask=None`` this
+    function owns the (implicit) causal mask — kernel routes are eligible.
+    Passing an explicit ``attn_mask`` alongside ``causal=True`` (e.g. a
+    causal+padding composite, or the NAS supernet pinning the einsum path
+    for second-order differentiation) disables the Pallas routes, and the
+    given mask is used as-is (it must already encode causality).
     """
     from .kernel_gate import pallas_allowed
 
-    if causal and deterministic and pallas_allowed():
+    if causal and attn_mask is not None:
+        pass  # explicit mask pins the einsum path (see docstring)
+    elif causal and deterministic and pallas_allowed():
         import os
 
         if os.environ.get("BAYESLM_PALLAS_ATTN", "1") != "0":
@@ -84,6 +93,8 @@ def multihead_attention(
                 return flash_attention_train(q, k, v, nhead, rate, seed)
     T, B, E = q.shape
     S = k.shape[0]
+    if attn_mask is None and causal:
+        attn_mask = causal_mask(T)
     head_dim = E // nhead
     scaling = float(head_dim) ** -0.5
 

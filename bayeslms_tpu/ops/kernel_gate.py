@@ -14,20 +14,25 @@ shard_map train step instead and keep all fused kernels.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
-_disabled = False
+# A ContextVar (not a module global) so the switch is confined to the code
+# that actually runs under the `with no_pallas()` block in THIS context:
+# a jit cache miss traced concurrently from another thread/task does not
+# observe the flag and keeps its Pallas fast paths.
+_disabled: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "bayeslm_no_pallas", default=False
+)
 
 
 def pallas_allowed() -> bool:
-    return not _disabled
+    return not _disabled.get()
 
 
 @contextlib.contextmanager
 def no_pallas():
-    global _disabled
-    old = _disabled
-    _disabled = True
+    token = _disabled.set(True)
     try:
         yield
     finally:
-        _disabled = old
+        _disabled.reset(token)

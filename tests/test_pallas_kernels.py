@@ -233,10 +233,48 @@ def test_flash_attention_train_via_multihead(train_attn_interpret, monkeypatch):
 
     def loss(q):
         out = multihead_attention(
-            q, k, v, h, attn_mask=causal_mask(T), dropout_rate=0.2,
+            q, k, v, h, attn_mask=None, dropout_rate=0.2,
             dropout_rng=jax.random.key(0), deterministic=False, causal=True,
         )
         return (out ** 2).sum()
 
     val, g = jax.value_and_grad(loss)(q)
     assert np.isfinite(val) and np.isfinite(np.asarray(g)).all()
+
+
+def test_explicit_mask_pins_einsum_path(train_attn_interpret, monkeypatch):
+    """Masking contract: an explicit attn_mask alongside causal=True must
+    bypass every Pallas route (the kernels only implement the implicit
+    causal mask) and honour the given mask — here an augmented
+    causal+padding mask whose effect the kernel would silently drop."""
+    import bayeslms_tpu.ops.attention_train_pallas as atp_mod
+
+    monkeypatch.setenv("BAYESLM_PALLAS_ATTN_TRAIN", "1")
+    monkeypatch.setenv("BAYESLM_PALLAS_ATTN", "1")
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise AssertionError("kernel route taken despite explicit mask")
+
+    monkeypatch.setattr(atp_mod, "flash_attn_train_ok", boom)
+    T, B, E, h = 8, 2, 16, 4
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(T, B, E)), jnp.float32)
+               for _ in range(3))
+    # causal mask with the last key position padded out for every query
+    aug = np.array(causal_mask(T), copy=True)
+    aug[:, -1] = -np.inf
+    out = multihead_attention(q, k, v, h, attn_mask=jnp.asarray(aug),
+                              dropout_rate=0.2, dropout_rng=jax.random.key(1),
+                              deterministic=False, causal=True)
+    assert not calls
+    # padded key contributes nothing: query T-1 under the aug mask attends
+    # keys 0..T-2 — identical to unmasked attention of q[-1:] over k[:-1]
+    out_det = multihead_attention(q, k, v, h, attn_mask=jnp.asarray(aug),
+                                  deterministic=True, causal=True)
+    ref_last = multihead_attention(q[-1:], k[:-1], v[:-1], h, attn_mask=None,
+                                   deterministic=True, causal=False)
+    np.testing.assert_allclose(np.asarray(out_det[-1]), np.asarray(ref_last[0]),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()

@@ -11,6 +11,7 @@
 //   --asclite-clean drops noise tags / hesitations / <unk> from the hyps
 //   (score_asclite.sh:87-93).
 // Prints: %WER P [ N / R, I ins, D del, S sub ]  and %SER.
+#include <cstdio>
 #include <map>
 
 #include "wer.hpp"
@@ -34,7 +35,14 @@ static std::map<std::string, std::vector<std::vector<std::string>>> read_trans(
     bool dup = false;
     for (const auto& prev : lists)
       if (prev == words) { dup = true; break; }
-    if (!dup) lists.push_back(std::move(words));
+    if (dup)
+      // stderr so concatenated-file accidents stay visible, and genuinely
+      // identical overlapping-speaker segments aren't silently altered
+      std::fprintf(stderr,
+                   "wer: warning: dropping exact duplicate line for utterance "
+                   "'%s' in %s\n", w[0].c_str(), p.c_str());
+    else
+      lists.push_back(std::move(words));
   }
   return m;
 }
