@@ -145,6 +145,8 @@ def cmd_score(args) -> int:
             return 1
     write_scores(scorer.score_nbest(nbest, vocab.word2idx,
                                     context_map=context_map), args.outfile)
+    # dev-scorer OOV report (`…copy.py`:409 prints the total oov_num)
+    print(f"oov tokens: {scorer.oov_stats['total']}")
     print(f"wrote {args.outfile}")
     return 0
 
@@ -172,6 +174,7 @@ def cmd_rescore(args) -> int:
     )
     print(json.dumps({
         "n_utts": res.n_utts, "n_hyps": res.n_hyps,
+        "oov_tokens": res.oov_tokens,
         "wer_by_lmwt": res.wer_by_lmwt, "best_lmwt": res.best_lmwt,
         "best_wer": res.best_wer,
     }))

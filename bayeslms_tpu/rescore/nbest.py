@@ -52,6 +52,10 @@ def encode_hyp(
     trailing context words between <s> and the hypothesis (dev scorer
     `--seg_wise`); the returned ``n_ctx`` counts target positions to exclude
     from the score so hypothesis scores stay comparable.
+
+    ``n_oov`` counts words (context + hypothesis) mapped to ``<unk>`` —
+    the dev scorer's OOV tally over the encoded input string
+    (`…copy.py`:123-144, reported as a total at :409).
     """
     words = hyp.split()
     if backward:
@@ -61,9 +65,10 @@ def encode_hyp(
     ids = [word2idx.get(w, unk_id) for w in words]
     ctx_ids = [word2idx.get(w, unk_id) for w in ctx_words]
     bos_id = word2idx.get(bos, 0)
+    n_oov = sum(1 for w in ctx_words + words if w not in word2idx)
     inp = [bos_id] + ctx_ids + ids
     tgt = ctx_ids + ids + [bos_id]
-    return inp, tgt, len(ctx_ids)
+    return inp, tgt, len(ctx_ids), n_oov
 
 
 def pad_batch(

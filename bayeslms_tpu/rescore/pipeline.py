@@ -70,6 +70,7 @@ def _read_scores(path: str) -> Dict[str, float]:
 class PipelineResult:
     n_utts: int = 0
     n_hyps: int = 0
+    oov_tokens: int = 0
     wer_by_lmwt: Dict[int, float] = field(default_factory=dict)
     best_lmwt: Optional[int] = None
     best_wer: Optional[float] = None
@@ -181,6 +182,7 @@ def run_pipeline(
     res.n_utts = len(nbest)
     res.n_hyps = sum(len(h) for h in nbest.values())
     scored = scorer.score_nbest(nbest, word2idx)
+    res.oov_tokens = getattr(scorer, "oov_stats", {"total": 0})["total"]
     nn_path = os.path.join(workdir, "nnlm.scores")
     write_scores(scored, nn_path)
     nn_scores = _read_scores(nn_path)

@@ -67,6 +67,7 @@ class BatchScorer:
         self.cfg = cfg
         self.rcfg = rcfg
         self.mesh = mesh
+        self.oov_stats = {"total": 0, "per_utt": {}}  # set by score_nbest
         self.model = build_model(cfg)
         self.params = params
         self.interp = rcfg.inter_flag
@@ -351,6 +352,22 @@ class BatchScorer:
                 context_map[k] = last.get(label, "")
                 if hyps:
                     last[label] = (last.get(label, "") + " " + hyps[0]).strip()
+        # OOV tally over the encoded inputs (context + hypothesis words
+        # mapped to <unk>), the dev scorer's oov_num (`…copy.py`:123-144,
+        # printed as a total at :409). Exposed as ``self.oov_stats`` after
+        # every score_nbest call; surfaced by `score`/`rescore` CLI output
+        # and the pipeline JSON.
+        ctx = context_map or {}
+        per_utt = {
+            k: sum(
+                encode_hyp(h, word2idx, backward=self.rcfg.backward,
+                           context=ctx.get(k, ""),
+                           splice_len=self.rcfg.splice_len)[3]
+                for h in hyps
+            )
+            for k, hyps in nbest.items()
+        }
+        self.oov_stats = {"total": sum(per_utt.values()), "per_utt": per_utt}
         if self.is_tm and self.rcfg.xl_mems:
             if context_map:
                 raise ValueError(
@@ -404,9 +421,9 @@ class BatchScorer:
         for k, hyps in nbest.items():
             label = stream_fn(k) if stream_fn else "_all"
             enc = [encode_hyp(h, word2idx, backward=rc.backward) for h in hyps]
-            T = bucket_for(max(len(x) for x, _, _ in enc), buckets)
+            T = bucket_for(max(len(x) for x, _, _, _ in enc), buckets)
             data, tgt, mask, _ = pad_batch(
-                [x for x, _, _ in enc], [y for _, y, _ in enc], T, N
+                [x for x, *_ in enc], [y for _, y, *_ in enc], T, N
             )
             prev = last.get(label)
             if prev is None:
@@ -495,7 +512,7 @@ class BatchScorer:
         items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
         for key, hyps in nbest.items():
             for i, hyp in enumerate(hyps):
-                x, y, nc = encode_hyp(
+                x, y, nc, _ = encode_hyp(
                     hyp, word2idx, backward=rc.backward,
                     context=ctx.get(key, ""), splice_len=rc.splice_len,
                 )
@@ -644,7 +661,7 @@ class BatchScorer:
             ]
             for k in keys
         }
-        max_len = max((len(x) for k in keys for x, _, _ in enc[k]), default=1)
+        max_len = max((len(x) for k in keys for x, *_ in enc[k]), default=1)
         T = bucket_for(max_len, buckets)
 
         cdtype = jnp.dtype(self.cfg.compute_dtype)
@@ -665,10 +682,10 @@ class BatchScorer:
                         continue
                     k = skeys[s + u]
                     d, t, m, _ = pad_batch(
-                        [x for x, _, _ in enc[k]], [y for _, y, _ in enc[k]], T, N
+                        [x for x, *_ in enc[k]], [y for _, y, *_ in enc[k]], T, N
                     )
                     cm = m.copy()
-                    for c, (_, _, nc) in enumerate(enc[k]):
+                    for c, (_, _, nc, _) in enumerate(enc[k]):
                         if nc:  # context conditions the model, not the score
                             cm[:nc, c] = 0.0
                     col = slice(g * N, (g + 1) * N)

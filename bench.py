@@ -105,7 +105,7 @@ def main():
     for key, hyps in loop_items:
         cached = None
         for hyp in hyps:
-            x, y, _ = encode_hyp(hyp, w2i)
+            x, y, _, _ = encode_hyp(hyp, w2i)
             T = bucket_for(len(x), buckets)
             data = np.zeros((T, 1), np.int32)
             tgt = np.zeros((T, 1), np.int32)

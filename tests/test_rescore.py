@@ -36,7 +36,7 @@ def ref_loop_scores(model, params, cfg, carry_over):
         cached = []
         scores[key] = []
         for hyp in hyps:
-            x, y, _ = encode_hyp(hyp, W2I)
+            x, y, _, _ = encode_hyp(hyp, W2I)
             toks = jnp.asarray(np.array(x, np.int32)[:, None])
             tgt = jnp.asarray(np.array(y, np.int32))
             if cfg.is_transformer:
@@ -100,7 +100,7 @@ def test_logit_interpolation_matches_loop():
         cached = []
         scores[key] = []
         for hyp in hyps:
-            x, y, _ = encode_hyp(hyp, W2I)
+            x, y, _, _ = encode_hyp(hyp, W2I)
             toks = jnp.asarray(np.array(x, np.int32)[:, None])
             tgt = jnp.asarray(np.array(y, np.int32))
             l1, nh1 = model.apply({"params": p1}, toks, h1, deterministic=True)

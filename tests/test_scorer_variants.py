@@ -17,12 +17,12 @@ NBEST = OrderedDict([("u1", ["w1 w2 w3", "w1 w2"]), ("u2", ["w5"])])
 
 
 def test_encode_backward_and_splice():
-    x, y, nc = encode_hyp("w1 w2 w3", W2I, backward=True)
+    x, y, nc, _ = encode_hyp("w1 w2 w3", W2I, backward=True)
     assert x == [0, W2I["w3"], W2I["w2"], W2I["w1"]]
     assert y == [W2I["w3"], W2I["w2"], W2I["w1"], 0]
     assert nc == 0
 
-    x, y, nc = encode_hyp("w1", W2I, context="w7 w8 w9", splice_len=2)
+    x, y, nc, _ = encode_hyp("w1", W2I, context="w7 w8 w9", splice_len=2)
     assert nc == 2
     assert x == [0, W2I["w8"], W2I["w9"], W2I["w1"]]
     assert y == [W2I["w8"], W2I["w9"], W2I["w1"], 0]
@@ -192,9 +192,9 @@ def test_xl_mems_scorer_exact_vs_full_context():
         scorer = BatchScorer(cfg, params, RescoreConfig(xl_mems=True, max_hyp_len=16))
         got = scorer.score_nbest(nbest, w2i)
 
-        prev_ids, _, _ = encode_hyp(nbest["u1"][0], w2i)
+        prev_ids, _, _, _ = encode_hyp(nbest["u1"][0], w2i)
         for j, hyp in enumerate(nbest["u2"]):
-            x, y, _ = encode_hyp(hyp, w2i)
+            x, y, _, _ = encode_hyp(hyp, w2i)
             full = jnp.asarray(np.array(prev_ids + x, np.int32)[:, None])
             logits = model.apply({"params": params}, full, deterministic=True)
             tail = logits[len(prev_ids):, 0]
@@ -205,7 +205,7 @@ def test_xl_mems_scorer_exact_vs_full_context():
 
         # utterance 1 = plain scoring
         for j, hyp in enumerate(nbest["u1"]):
-            x, y, _ = encode_hyp(hyp, w2i)
+            x, y, _, _ = encode_hyp(hyp, w2i)
             logits = model.apply(
                 {"params": params}, jnp.asarray(np.array(x, np.int32)[:, None]),
                 deterministic=True,
@@ -216,3 +216,29 @@ def test_xl_mems_scorer_exact_vs_full_context():
             np.testing.assert_allclose(got["u1"][j][1], float(ce), rtol=1e-4)
     finally:
         os.environ.pop("BAYESLM_FUSED_CE", None)
+
+
+def test_oov_counting():
+    """encode_hyp counts context+hypothesis words mapped to <unk>, and the
+    scorer tallies them per-utterance/total (dev scorer `…copy.py`:123-144,
+    total printed at :409)."""
+    x, y, nc, n_oov = encode_hyp("w1 OOVA w2 OOVB", W2I)
+    assert n_oov == 2
+    assert x == [0, W2I["w1"], 1, W2I["w2"], 1]
+    # context OOVs count too (within the spliced window only)
+    _, _, nc, n_oov = encode_hyp("w1", W2I, context="ZZZ w9 QQQ", splice_len=2)
+    assert nc == 2 and n_oov == 1  # window = [w9, QQQ]
+
+    nb = OrderedDict([("u1", ["w1 BAD w3", "w1 w2"]), ("u2", ["BAD WORSE"])])
+    cfg = _tm_cfg()
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    sc = BatchScorer(cfg, params, RescoreConfig(max_hyp_len=16))
+    sc.score_nbest(nb, W2I)
+    assert sc.oov_stats == {"total": 3, "per_utt": {"u1": 1, "u2": 2}}
+    # LSTM carry-over path exposes the same stats
+    lcfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    lsc = BatchScorer(lcfg, init_params(build_model(lcfg), lcfg),
+                      RescoreConfig(max_hyp_len=16, carry_over=True))
+    lsc.score_nbest(nb, W2I)
+    assert lsc.oov_stats["total"] == 3
