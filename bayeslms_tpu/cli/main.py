@@ -204,7 +204,8 @@ def cmd_search(args) -> int:
     runner = SearchRunner(cfg, tcfg, mode=args.search_mode, unrolled=args.unrolled,
                           arch_lr=args.arch_lr)
     res = runner.run(corpus)
-    print(json.dumps({"arch_softmax": res.arch_softmax.tolist()}))
+    print(json.dumps({"arch_softmax": res.arch_softmax.tolist(),
+                      "derived_choice": res.derived_choice.tolist()}))
     return 0
 
 

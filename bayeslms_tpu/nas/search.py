@@ -30,6 +30,7 @@ from .supernet import build_supernet, init_arch_weights
 class SearchResult:
     arch_softmax: np.ndarray  # (nlayers, slots, 2)
     history: list
+    derived_choice: Optional[np.ndarray] = None  # argmax branch per (layer, slot)
 
 
 class SearchRunner:
@@ -42,15 +43,16 @@ class SearchRunner:
         self.is_tm = cfg.is_transformer
         self.slots = 1 if self.is_tm else 4
 
-        def loss_fn(params, arch, batch, rngs):
+        def loss_and_hidden(params, arch, batch, rngs):
             data, target, hidden, kl_scale = batch
             if self.is_tm:
                 logits, var = self.model.apply(
                     {"params": params}, data, arch, deterministic=False, rngs=rngs,
                     mutable=["losses"],
                 )
+                new_hidden = hidden
             else:
-                (logits, _), var = self.model.apply(
+                (logits, new_hidden), var = self.model.apply(
                     {"params": params}, data, hidden, arch, deterministic=False,
                     rngs=rngs, mutable=["losses"],
                 )
@@ -58,21 +60,28 @@ class SearchRunner:
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, V), target.reshape(-1)
             ).mean()
-            return ce + kl_scale * sum_losses(var.get("losses", {}))
+            return ce + kl_scale * sum_losses(var.get("losses", {})), new_hidden
 
-        self.loss_fn = loss_fn
+        self._loss_and_hidden = loss_and_hidden
+        # scalar-only view for the Architect (its valid-batch hidden is the
+        # per-epoch zero state, discarded per call — reference architect.py:62-67)
+        self.loss_fn = lambda params, arch, batch, rngs: loss_and_hidden(
+            params, arch, batch, rngs
+        )[0]
         self.architect = Architect(
-            loss_fn, arch_lr=arch_lr, w_lr=tcfg.lr, unrolled=unrolled,
+            self.loss_fn, arch_lr=arch_lr, w_lr=tcfg.lr, unrolled=unrolled,
             network_weight_decay=network_weight_decay, network_clip=tcfg.clip,
         )
         self._w_step = jax.jit(self._weight_step)
 
     def _weight_step(self, params, opt_state, arch, batch, lr, rngs):
-        loss, grads = jax.value_and_grad(self.loss_fn)(params, arch, batch, rngs)
+        (loss, new_hidden), grads = jax.value_and_grad(
+            self._loss_and_hidden, has_aux=True
+        )(params, arch, batch, rngs)
         params, opt_state, _ = sgd_momentum_step(
             params, grads, opt_state, lr, self.tcfg.clip, self.tcfg.momentum
         )
-        return params, opt_state, loss
+        return params, opt_state, loss, new_hidden
 
     def init_params(self, seed: int = 0):
         rngs = {
@@ -103,27 +112,73 @@ class SearchRunner:
         params, arch = self.init_params(tcfg.seed)
         a_state = self.architect.init(arch)
         opt_state = init_opt_state(params)
-        hidden = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
         root = jax.random.key(tcfg.seed)
         history = []
         for epoch in range(1, epochs + 1):
+            # reference train_search_bayes.py:245-246: BOTH hiddens re-zeroed
+            # per epoch; `hidden` is then carried (detached) across weight
+            # steps (:272-273) while `hiddens_valid` stays the zero state for
+            # every architect step (architect.py:62-67 discards its output).
+            hidden = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
+            hidden_valid = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
             for b in range(tr_d.shape[0]):
                 k = jax.random.fold_in(jax.random.fold_in(root, epoch), b)
                 kd, ks, kg = jax.random.split(k, 3)
                 rngs = {"dropout": kd, "sample": ks, "gumbel": kg}
                 vb = b % max(va_d.shape[0], 1)
                 train_batch = (jnp.asarray(tr_d[b]), jnp.asarray(tr_t[b]), hidden, kl_scale)
-                valid_batch = (jnp.asarray(va_d[vb]), jnp.asarray(va_t[vb]), hidden, kl_scale)
+                valid_batch = (jnp.asarray(va_d[vb]), jnp.asarray(va_t[vb]), hidden_valid, kl_scale)
                 # architect step on validation data, then weight step
                 a_state = self.architect.step(a_state, params, train_batch, valid_batch, rngs)
-                params, opt_state, loss = self._w_step(
+                params, opt_state, loss, hidden = self._w_step(
                     params, opt_state, a_state.arch, train_batch,
                     jnp.asarray(tcfg.lr, jnp.float32), rngs,
                 )
             soft = np.asarray(jax.nn.softmax(a_state.arch, axis=-1))
             history.append({"epoch": epoch, "loss": float(loss), "arch": soft.tolist()})
             log(f"| search epoch {epoch} | loss {float(loss):.3f} |\n{soft.round(3)}")
+        soft = np.asarray(jax.nn.softmax(a_state.arch, axis=-1))
         return SearchResult(
-            arch_softmax=np.asarray(jax.nn.softmax(a_state.arch, axis=-1)),
+            arch_softmax=soft,
             history=history,
+            derived_choice=soft.argmax(axis=-1),
         )
+
+    @staticmethod
+    def derive(arch) -> jax.Array:
+        """Argmax architecture as hard-selecting logits: softmax of ±50
+        saturates to exact 1/0 branch weights in f32, so training the
+        supernet with these (and no gumbel noise) trains exactly the chosen
+        fixed architecture — the consumable form of the search result
+        (the reference only prints softmaxed weights,
+        train_search_bayes.py:402-411)."""
+        a = np.asarray(arch)
+        choice = a.argmax(axis=-1)
+        hard = np.where(
+            np.arange(a.shape[-1])[None, None, :] == choice[..., None], 50.0, -50.0
+        )
+        return jnp.asarray(hard, jnp.float32)
+
+    def finetune(self, params, arch_hard, corpus, steps: int, seed: int = 0):
+        """Train the DERIVED fixed architecture (hard arch logits from
+        ``derive``) for ``steps`` weight steps. Returns (params, losses)."""
+        tcfg = self.tcfg
+        train_rows = batchify(corpus.train, tcfg.batch_size)
+        tr_d, tr_t = windows(train_rows, tcfg.seq_len)
+        kl_scale = jnp.asarray(tcfg.seq_len / train_rows.shape[0], jnp.float32)
+        opt_state = init_opt_state(params)
+        hidden = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
+        root = jax.random.key(seed)
+        losses = []
+        for b in range(steps):
+            k = jax.random.fold_in(root, b)
+            kd, ks, kg = jax.random.split(k, 3)
+            rngs = {"dropout": kd, "sample": ks, "gumbel": kg}
+            i = b % tr_d.shape[0]
+            batch = (jnp.asarray(tr_d[i]), jnp.asarray(tr_t[i]), hidden, kl_scale)
+            params, opt_state, loss, hidden = self._w_step(
+                params, opt_state, arch_hard, batch,
+                jnp.asarray(tcfg.lr, jnp.float32), rngs,
+            )
+            losses.append(float(loss))
+        return params, losses

@@ -59,3 +59,27 @@ def test_search_transformer_gauss():
 
 def test_search_lstm_gauss():
     _run_search("LSTM", "gauss")
+
+
+def test_search_derive_and_finetune():
+    """The search result is CONSUMABLE: derive() hard-selects the argmax
+    branches (exact 1/0 weights) and finetune() trains that fixed
+    architecture — loss must drop on the periodic stream. Also covers the
+    per-epoch hidden re-init + cross-batch carry (reference
+    train_search_bayes.py:245-246, :272-273)."""
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8,
+                      nlayers=2, nhead=2, dropout=0.0)
+    tcfg = TrainConfig(lr=0.5, batch_size=4, epochs=1, seq_len=8, seed=0)
+    runner = SearchRunner(cfg, tcfg, mode="bayes")
+    res = runner.run(TinyCorpus(), log=lambda *a: None)
+    assert res.derived_choice.shape == (2, 4)
+    hard = SearchRunner.derive(res.arch_softmax)
+    w = jax.nn.softmax(hard, axis=-1)
+    np.testing.assert_array_equal(np.asarray(w).argmax(-1), res.derived_choice)
+    # saturated: exactly one-hot in f32
+    np.testing.assert_allclose(np.asarray(w).max(-1), 1.0)
+
+    params, _ = runner.init_params(0)
+    params, losses = runner.finetune(params, hard, TinyCorpus(), steps=30)
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
