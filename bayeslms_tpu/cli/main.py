@@ -67,6 +67,7 @@ def cmd_train(args) -> int:
         log_interval=args.log_interval, data_fraction=args.data_fraction,
         prior=args.prior, prior_path=args.prior_path, prior_kl=args.prior_kl,
         save=args.save, rng_impl=args.rng_impl, dp_shards=args.dp_shards,
+        profile_dir=args.profile,
     )
     mesh = None
     if args.tp_shards > 1:
@@ -143,8 +144,16 @@ def cmd_score(args) -> int:
                   f"n-best utterance ids (e.g. {unknown[:3]}); fix the ids "
                   "or use a single global-context line", file=sys.stderr)
             return 1
-    write_scores(scorer.score_nbest(nbest, vocab.word2idx,
-                                    context_map=context_map), args.outfile)
+    if args.profile:
+        from ..utils.profiling import trace
+
+        with trace(args.profile):
+            scored = scorer.score_nbest(nbest, vocab.word2idx,
+                                        context_map=context_map)
+    else:
+        scored = scorer.score_nbest(nbest, vocab.word2idx,
+                                    context_map=context_map)
+    write_scores(scored, args.outfile)
     # dev-scorer OOV report (`…copy.py`:409 prints the total oov_num)
     print(f"oov tokens: {scorer.oov_stats['total']}")
     print(f"wrote {args.outfile}")
@@ -167,11 +176,19 @@ def cmd_rescore(args) -> int:
         max_lmwt=args.max_lmwt,
     )
     scorer = BatchScorer(cfg, params, rcfg, mesh=_scorer_mesh(args))
-    res = run_pipeline(
-        args.lattices, args.words, scorer, vocab.word2idx, args.workdir, rcfg,
-        arpa_lm=args.arpa, ref_text=args.ref, glm=args.glm,
-        asclite_clean=args.asclite_clean, sanity_test=args.sanity_test,
-    )
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from ..utils.profiling import trace
+
+        prof = trace(args.profile)
+    with prof:
+        res = run_pipeline(
+            args.lattices, args.words, scorer, vocab.word2idx, args.workdir,
+            rcfg, arpa_lm=args.arpa, ref_text=args.ref, glm=args.glm,
+            asclite_clean=args.asclite_clean, sanity_test=args.sanity_test,
+        )
     print(json.dumps({
         "n_utts": res.n_utts, "n_hyps": res.n_hyps,
         "oov_tokens": res.oov_tokens,
@@ -241,6 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tp-shards", type=int, default=1,
                    help="tensor-parallel shards (vocab/FFN/gate sharding)")
     t.add_argument("--save", default="model.ckpt")
+    t.add_argument("--profile", default=None, metavar="DIR",
+                   help="jax.profiler trace dir; traces the first epoch")
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("score", help="score an n-best list")
@@ -265,6 +284,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "Transformer-XL cross-utterance memory")
     s.add_argument("--dp-shards", type=int, default=1,
                    help="shard hypothesis batches over a dp device mesh")
+    s.add_argument("--profile", default=None, metavar="DIR",
+                   help="jax.profiler trace dir around scoring")
     s.add_argument("--context-file", default=None,
                    help="previous-decode context text: per-utterance "
                         "'utt text…' lines or one global line "
@@ -278,6 +299,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--model-path", required=True)
     r.add_argument("--workdir", required=True)
     r.add_argument("--arpa", default=None)
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="jax.profiler trace dir around the pipeline")
     r.add_argument("--ref", default=None)
     r.add_argument("--N", type=int, default=20)
     r.add_argument("--acwt", type=float, default=0.1)

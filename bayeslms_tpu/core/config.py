@@ -138,6 +138,11 @@ class TrainConfig:
     # dropout-mask generation was 28% of the step. Distributionally
     # equivalent; set 'threefry2x32' for jax-default key semantics.
     rng_impl: str = "rbg"
+    # jax.profiler trace directory (SURVEY §5 tracing; the reference's probes
+    # are commented-out wall clocks, train.py:310-311). When set, the FIRST
+    # trained epoch runs under jax.profiler.trace into this dir (view with
+    # TensorBoard/xprof).
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

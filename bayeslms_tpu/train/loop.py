@@ -36,6 +36,7 @@ from ..core.config import ModelConfig, TrainConfig
 from ..core.registry import build_model, init_params, sum_losses
 from ..data.corpus import apply_data_fraction, batchify, get_batch, windows
 from ..models.lstm_lm import init_hidden
+from ..utils.profiling import StepTimer, trace
 from .optim import OptState, init_opt_state, sgd_momentum_step
 
 
@@ -333,6 +334,7 @@ class Trainer:
         # the step itself. Dispatch runs ahead asynchronously; we sync once
         # per log_interval.
         pending = []
+        timer = StepTimer(alpha=0.3)  # interval-level EMA
         for b in range(n):
             step_key = jax.random.fold_in(epoch_key, b)
             params, opt_state, hidden, loss, mle, kl, gnorm = self._train_step(
@@ -344,7 +346,7 @@ class Trainer:
             pending.append(loss)
             if b % tcfg.log_interval == 0 and b > 0:
                 cur = float(jnp.mean(jnp.stack(pending)))
-                ms = (time.time() - t0) * 1000 / len(pending)
+                ms = timer.update((time.time() - t0) * 1000 / len(pending))
                 pending = []
                 log(
                     f"| epoch {state.epoch:3d} | {b:5d}/{n:5d} batches | lr {state.lr:02.3f} "
@@ -448,7 +450,13 @@ class Trainer:
         for epoch in range(start_epoch, tcfg.epochs + 1):
             state.epoch = epoch
             t0 = time.time()
-            state = self.run_epoch(state, train_rows, jax.random.fold_in(root_key, epoch), log)
+            epoch_key = jax.random.fold_in(root_key, epoch)
+            if tcfg.profile_dir and epoch == start_epoch:
+                # trace the first trained epoch (SURVEY §5 tracing item)
+                with trace(tcfg.profile_dir):
+                    state = self.run_epoch(state, train_rows, epoch_key, log)
+            else:
+                state = self.run_epoch(state, train_rows, epoch_key, log)
             val_loss = self.evaluate(state.params, val_rows)
             log("-" * 89)
             log(

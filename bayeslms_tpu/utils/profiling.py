@@ -42,6 +42,15 @@ class StepTimer:
         self.ema_ms: Optional[float] = None
         self._last: Optional[float] = None
 
+    def update(self, ms: float) -> float:
+        """Feed an externally measured ms/batch sample into the EMA (used by
+        the train loop at log-interval sync points, where wall-clock over the
+        interval is the accurate measure under async dispatch)."""
+        self.ema_ms = ms if self.ema_ms is None else (
+            self.alpha * ms + (1 - self.alpha) * self.ema_ms
+        )
+        return self.ema_ms
+
     def tick(self) -> Optional[float]:
         now = time.perf_counter()
         if self._last is not None:

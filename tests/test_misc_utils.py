@@ -52,3 +52,25 @@ def test_device_memory_stats():
 def test_multihost_noop():
     assert initialize_multihost() is False  # single process
     assert is_primary()
+
+
+def test_profile_dir_produces_trace(tmp_path):
+    """TrainConfig.profile_dir wraps the first epoch in jax.profiler.trace
+    (SURVEY §5 tracing item): trace artifacts must appear on disk."""
+    import numpy as np
+
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.train.loop import Trainer
+
+    class TinyCorpus:
+        train = (np.arange(600) % 17 + 1).astype(np.int32)
+        valid = train[:100]
+        test = train[:100]
+
+    prof = tmp_path / "prof"
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8, dropout=0.0)
+    tcfg = TrainConfig(lr=0.5, batch_size=4, epochs=1, seq_len=8,
+                       save=str(tmp_path / "m.ckpt"), profile_dir=str(prof))
+    Trainer(cfg, tcfg).fit(TinyCorpus(), log=lambda *a: None)
+    files = [p for p in prof.rglob("*") if p.is_file()]
+    assert files, "no profiler trace artifacts written"
