@@ -170,12 +170,24 @@ def cmd_rescore(args) -> int:
     vocab = Vocab.from_file(args.words)
     cfg = _model_cfg(args, len(vocab))
     params, _ = load_checkpoint(args.model_path)
+    # Full dev-scorer configuration forwarded into the pipeline's scorer
+    # stage, like the reference pipeline forwards interpolation flags
+    # (lmrescore_nbest_pytorchnn_cuda.sh:197-219; run_nnlm_ami_tm.sh:133-134).
     rcfg = RescoreConfig(
         nbest=args.N, acwt=args.acwt, nn_weight=args.nn_weight,
         carry_over=not args.no_carry_over, min_lmwt=args.min_lmwt,
-        max_lmwt=args.max_lmwt,
+        max_lmwt=args.max_lmwt, inter_flag=args.interpolation_flag,
+        inter_alpha=args.inter_alpha, mc_samples=args.mc_samples,
+        backward=args.backward or args.model_var == "back",
+        splice_len=args.splice_len, xl_mems=args.model_var == "XL",
+        max_hyp_len=args.max_hyp_len,
     )
-    scorer = BatchScorer(cfg, params, rcfg, mesh=_scorer_mesh(args))
+    params2 = cfg2 = None
+    if args.interpolation_flag:
+        cfg2 = _model_cfg(args, len(vocab))
+        params2, _ = load_checkpoint(args.inter_path)
+    scorer = BatchScorer(cfg, params, rcfg, cfg2, params2,
+                         mesh=_scorer_mesh(args))
     import contextlib
 
     prof = contextlib.nullcontext()
@@ -299,6 +311,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--model-path", required=True)
     r.add_argument("--workdir", required=True)
     r.add_argument("--arpa", default=None)
+    r.add_argument("--interpolation_flag", type=int, default=0,
+                   help="1 = logit-level, 2 = score-level interpolation with a second model")
+    r.add_argument("--inter_path", default=None)
+    r.add_argument("--inter_alpha", type=float, default=0.8)
+    r.add_argument("--mc-samples", type=int, default=0)
+    r.add_argument("--backward", action="store_true")
+    r.add_argument("--splice-len", type=int, default=0)
+    r.add_argument("--model_var", default="none", choices=["none", "back", "XL"])
+    r.add_argument("--max-hyp-len", type=int, default=128)
     r.add_argument("--profile", default=None, metavar="DIR",
                    help="jax.profiler trace dir around the pipeline")
     r.add_argument("--ref", default=None)

@@ -26,6 +26,12 @@ L_v_pos=00
 lr=5
 prior_flags=""
 platform=""       # e.g. cpu for smoke runs off-TPU
+# interpolated rescoring with a second (baseline) model, forwarded into the
+# scorer stage like the reference pipeline (run_nnlm_*_*.sh:133-134 ->
+# lmrescore_nbest_pytorchnn_cuda.sh:217-218)
+inter_flag=0      # 1 = logit-level, 2 = score-level
+inter_alpha=0.8
+inter_path=""     # checkpoint of the interpolation model
 lattices=""
 arpa=""
 ref=""
@@ -50,5 +56,7 @@ if [ "$stage" -le 2 ] && [ -n "$lattices" ]; then
     --model LSTM --emsize "$emsize" --nhid "$nhid" --nlayers "$nlayers" \
     --uncertainty "$uncertainty" --L_bayes_pos "$L_bayes_pos" \
     --N 20 --acwt 0.1 --min-lmwt 7 --max-lmwt 15 \
+    --interpolation_flag "$inter_flag" --inter_alpha "$inter_alpha" \
+    ${inter_path:+--inter_path "$inter_path"} \
     ${arpa:+--arpa "$arpa"} ${ref:+--ref "$ref"} | tee "$expdir/rescore.log"
 fi

