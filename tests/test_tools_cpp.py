@@ -288,3 +288,87 @@ def test_wer_duplicate_ref_lines_deduped(tmp_path):
     out = subprocess.run([tool("wer"), str(ref), str(hyp)], check=True,
                          capture_output=True, text=True).stdout
     assert "%WER 0.00 [ 0 / 5" in out
+
+
+def test_binary_lattice_roundtrip(tmp_path):
+    """Binary CompactLattice archives (kaldi_ark.hpp): text -> binary -> text
+    preserves every arc/weight/alignment, gzipped binary reads transparently,
+    and lattice_to_nbest produces identical archives from text and binary
+    inputs (the real lat.*.gz decode-dir path,
+    lmrescore_nbest_pytorchnn_cuda.sh:100-113)."""
+    import gzip
+
+    text = (
+        "u1\n0 1 5 1.25,2.5,10_11_12\n0 2 6 0.5,1.0,13\n1 3 7 0.5,0.5,14_15\n"
+        "2 3 8 2.0,3.0\n3 0.5,0.25\n\n"
+        "u2\n0 1 9 0.0,10.0,21_22\n1\n\n"
+    )
+    t = tmp_path / "lats.txt"
+    t.write_text(text)
+    b = tmp_path / "lats.ark"
+    subprocess.run([tool("lattice_copy"), "--binary", str(t), str(b)],
+                   check=True, capture_output=True)
+    # gzip the binary archive like a decode dir's lat.1.gz
+    gz = tmp_path / "lat.1.gz"
+    gz.write_bytes(gzip.compress(b.read_bytes()))
+    # binary -> text round trip (from the gz) matches a text->text copy
+    # exactly (same printer normalizes float formatting, e.g. 1.0 -> 1)
+    norm = tmp_path / "norm.txt"
+    subprocess.run([tool("lattice_copy"), str(t), str(norm)],
+                   check=True, capture_output=True)
+    back = tmp_path / "back.txt"
+    subprocess.run([tool("lattice_copy"), str(gz), str(back)],
+                   check=True, capture_output=True)
+    assert back.read_text() == norm.read_text()
+    # binary -> binary copy is byte-stable (final_ali etc. preserved)
+    b2 = tmp_path / "lats2.ark"
+    subprocess.run([tool("lattice_copy"), "--binary", str(gz), str(b2)],
+                   check=True, capture_output=True)
+    assert b2.read_bytes() == b.read_bytes()
+
+    # nbest from text and from gzipped binary are identical
+    outs = {}
+    for name, src in [("text", t), ("bin", gz)]:
+        w = tmp_path / f"w.{name}"
+        g = tmp_path / f"g.{name}"
+        a = tmp_path / f"a.{name}"
+        al = tmp_path / f"al.{name}"
+        subprocess.run(
+            [tool("lattice_to_nbest"), "--n=5", "--acoustic-scale=0.1",
+             str(src), str(w), str(g), str(a), str(al)],
+            check=True, capture_output=True)
+        outs[name] = (w.read_text(), g.read_text(), a.read_text(),
+                      al.read_text())
+    assert outs["text"] == outs["bin"]
+
+
+def test_binary_lattice_fixture_in_tree():
+    """The checked-in gzipped binary fixture decodes and extracts n-best."""
+    fix = os.path.join(ROOT, "tests", "fixtures", "lat.1.gz")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "t.txt")
+        subprocess.run([tool("lattice_copy"), fix, out], check=True,
+                       capture_output=True)
+        txt = open(out).read()
+        assert txt.startswith("AMI_ES2011a_H00-u1\n")
+        assert "10_11_12" in txt  # alignments survive
+        w = os.path.join(d, "w")
+        subprocess.run(
+            [tool("lattice_to_nbest"), "--n=5", "--acoustic-scale=0.1", fix,
+             w, os.path.join(d, "g"), os.path.join(d, "a")],
+            check=True, capture_output=True)
+        lines = open(w).read().splitlines()
+        assert lines[0].startswith("AMI_ES2011a_H00-u1-1 ")
+
+
+def test_binary_marker_on_text_input_errors(tmp_path):
+    """A text archive never trips the binary parser; a corrupt binary header
+    dies with a clear message instead of garbage output."""
+    bad = tmp_path / "bad.ark"
+    bad.write_bytes(b"u1 \x00Bxxxxgarbage")
+    proc = subprocess.run([tool("lattice_copy"), str(bad), str(tmp_path / "o")],
+                          capture_output=True, text=True)
+    assert proc.returncode != 0
+    assert "magic" in proc.stderr or "truncated" in proc.stderr

@@ -35,6 +35,9 @@ struct Lattice {
   std::vector<Arc> arcs;
   // final costs per state; states absent are non-final
   std::map<int32_t, std::pair<double, double>> finals;  // graph, acoustic
+  // alignment strings on final weights (binary CompactLattice only; the
+  // text form and N-best extraction ignore them, like lattice-rmali)
+  std::map<int32_t, std::string> final_ali;
 
   std::vector<std::vector<int>> out_arcs() const {
     std::vector<std::vector<int>> adj(num_states);

@@ -12,6 +12,7 @@
 #include <cstring>
 #include <iomanip>
 
+#include "kaldi_ark.hpp"
 #include "nbest.hpp"
 
 using namespace bayeslm;
@@ -33,7 +34,7 @@ int main(int argc, char** argv) {
     die("usage: lattice_to_nbest [--n=N] [--acoustic-scale=S] "
         "<lattices> <words.out> <lmwt.out> <acwt.out> [<ali.out>]");
 
-  auto in = open_in(args[0]);
+  LatticeSource in(args[0]);  // text / binary / gzipped archives alike
   auto words_out = open_out(args[1]);
   auto lmwt_out = open_out(args[2]);
   auto acwt_out = open_out(args[3]);
@@ -42,7 +43,7 @@ int main(int argc, char** argv) {
 
   Lattice lat;
   long long utts = 0, paths = 0;
-  while (read_lattice(in, &lat)) {
+  while (in.next(&lat)) {
     auto nb = nbest_paths(lat, n, ac_scale);
     for (size_t k = 0; k < nb.size(); ++k) {
       std::string key = lat.utt + "-" + std::to_string(k + 1);
