@@ -59,6 +59,26 @@ def cmd_train(args) -> int:
     from ..data.corpus import Corpus
     from ..train.loop import Trainer
 
+    if args.multihost:
+        # join a multi-host DCN job BEFORE any jax device use; the mesh below
+        # then spans every process's devices (SURVEY §2c — replaces the
+        # reference's queue/slurm launchers). Each process must see the same
+        # data dir; checkpoints are written by every process (correct on both
+        # shared and per-host filesystems).
+        import jax
+
+        from ..parallel.multihost import initialize_multihost
+
+        if initialize_multihost():
+            print(
+                f"multihost: process {jax.process_index()+1}/{jax.process_count()}"
+                f" ({len(jax.devices())} global devices)",
+                file=sys.stderr,
+            )
+        else:
+            print("multihost requested but JAX_COORDINATOR_ADDRESS/"
+                  "JAX_NUM_PROCESSES not set", file=sys.stderr)
+            return 1
     corpus = Corpus(args.data)
     cfg = _model_cfg(args, len(corpus.vocab))
     tcfg = TrainConfig(
@@ -70,10 +90,14 @@ def cmd_train(args) -> int:
         profile_dir=args.profile,
     )
     mesh = None
-    if args.tp_shards > 1:
+    if args.tp_shards > 1 or args.multihost:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=max(args.dp_shards, 1), tp=args.tp_shards)
+        # under --multihost an unset --dp-shards means "all global devices"
+        dp = args.dp_shards if args.dp_shards > 1 else None
+        if not args.multihost:
+            dp = max(args.dp_shards, 1)
+        mesh = make_mesh(dp=dp, tp=args.tp_shards)
     trainer = Trainer(cfg, tcfg, mesh=mesh)
     _, out = trainer.fit(corpus)
     print(json.dumps({"test_loss": out["test_loss"]}))
@@ -270,6 +294,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tp-shards", type=int, default=1,
                    help="tensor-parallel shards (vocab/FFN/gate sharding)")
     t.add_argument("--save", default="model.ckpt")
+    t.add_argument("--multihost", action="store_true",
+                   help="join a jax.distributed multi-host job (coordinator "
+                        "from JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID) before building the mesh")
     t.add_argument("--profile", default=None, metavar="DIR",
                    help="jax.profiler trace dir; traces the first epoch")
     t.set_defaults(fn=cmd_train)

@@ -87,7 +87,7 @@ def param_spec(path: Tuple[str, ...], shape: Tuple[int, ...], tp: int) -> P:
 
 def params_shardings(mesh: Mesh, params):
     """NamedSharding pytree mirroring ``params`` via the path rules."""
-    tp = mesh.shape["tp"]
+    tp = mesh.shape.get("tp", 1)  # user meshes may be dp-only
 
     def spec_for(path, leaf):
         keys = tuple(

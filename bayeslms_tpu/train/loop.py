@@ -283,6 +283,24 @@ class Trainer:
         _, sums = jax.lax.scan(body, hidden, (data, target, mask))
         return jnp.sum(sums)
 
+    def _put_global(self, x, sh):
+        """Place a host value with sharding ``sh`` — works when the mesh
+        spans PROCESSES (multi-host DCN): non-trivially-sharded numpy inputs
+        are rejected by jit there, so shards are assembled per process via
+        make_array_from_callback (each host holds the full value; the
+        callback serves its local index slices)."""
+        if isinstance(x, jax.Array):
+            return x  # already placed (fit feeds back the step outputs)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    def _put_batch(self, arr):
+        if self.mesh is None or jax.process_count() == 1:
+            return jnp.asarray(arr)
+        return self._put_global(arr, self._b_sh)
+
     def _ensure_sharded(self, params):
         """Build the sharded step + placement helpers on first use."""
         if self._shard_ready or self.mesh is None:
@@ -321,11 +339,15 @@ class Trainer:
         hidden = init_hidden(self.mcfg.nlayers, train_rows.shape[1], self.mcfg.nhid)
         self._ensure_sharded(state.params)
         if self.mesh is not None:
-            state.params = jax.device_put(state.params, self._p_sh)
-            state.opt_state = jax.device_put(
-                state.opt_state, type(state.opt_state)(momentum=self._p_sh)
+            state.params = jax.tree.map(self._put_global, state.params, self._p_sh)
+            state.opt_state = type(state.opt_state)(
+                momentum=jax.tree.map(
+                    self._put_global, state.opt_state.momentum, self._p_sh
+                )
             )
-            hidden = jax.device_put(hidden, (self._h_sh, self._h_sh))
+            hidden = jax.tree.map(
+                self._put_global, hidden, (self._h_sh, self._h_sh)
+            )
         params, opt_state = state.params, state.opt_state
         t0 = time.time()
         n = data_all.shape[0]
@@ -339,7 +361,7 @@ class Trainer:
             step_key = jax.random.fold_in(epoch_key, b)
             params, opt_state, hidden, loss, mle, kl, gnorm = self._train_step(
                 params, opt_state, hidden,
-                jnp.asarray(data_all[b]), jnp.asarray(tgt_all[b]),
+                self._put_batch(data_all[b]), self._put_batch(tgt_all[b]),
                 jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
                 step_key,
             )
@@ -366,9 +388,9 @@ class Trainer:
             data_p[:cur], tgt_p[:cur], m_p[:cur] = d_t, t_t, 1.0
             params, opt_state, hidden, loss, mle, kl, gnorm = self._get_masked_step()(
                 params, opt_state, hidden,
-                jnp.asarray(data_p), jnp.asarray(tgt_p),
+                self._put_batch(data_p), self._put_batch(tgt_p),
                 jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
-                jax.random.fold_in(epoch_key, n), jnp.asarray(m_p),
+                jax.random.fold_in(epoch_key, n), self._put_batch(m_p),
             )
         state.params, state.opt_state = params, opt_state
         return state

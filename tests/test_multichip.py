@@ -394,9 +394,11 @@ def test_trainer_fit_shardmap_dp(tmp_path):
     _, out = tr.fit(corpus)
     h = out["history"]
     # the toy stream converges within epoch 1; assert learning happened
-    # (well below the uniform baseline log(12) = 2.48), not strict per-epoch
-    # descent
-    assert h[-1]["val_loss"] < 2.0
+    # (well below the uniform baseline log(12) = 2.48). At lr 2.0 a later
+    # epoch can diverge and plateau-reload — judge the BEST epoch (the
+    # checkpoint fit returns), not the last.
+    assert min(e["val_loss"] for e in h) < 2.0
+    assert out["test_loss"] < 2.0  # best-checkpoint reload scored the test set
 
 
 def test_ragged_window_gspmd_mesh(tmp_path):
