@@ -22,7 +22,7 @@ import numpy as np
 
 
 def make_synthetic_nbest(n_meetings=10, utts_per_meeting=10, n_hyps=20,
-                         vocab_words=2000, seed=0):
+                         vocab_words=49150, seed=0):
     """AMI-shaped: independent recordings (carry-over chains) of serial
     utterances, 20 hypotheses each."""
     rng = np.random.default_rng(seed)
@@ -33,7 +33,9 @@ def make_synthetic_nbest(n_meetings=10, utts_per_meeting=10, n_hyps=20,
             hyps = []
             for _ in range(n_hyps):
                 L = max(1, base_len + int(rng.integers(-2, 3)))
-                words = rng.integers(2, vocab_words, size=L)
+                # Zipf-shaped draw over the FULL table so the benchmark
+                # exercises the real 49k vocabulary, not a dense 2k prefix
+                words = np.minimum(rng.zipf(1.3, size=L), vocab_words - 1)
                 hyps.append(" ".join(f"w{w}" for w in words))
             nbest[f"meet{m}_utt{u}"] = hyps
     return nbest
@@ -60,7 +62,7 @@ def main():
     )
     model = build_model(cfg)
     params = init_params(model, cfg, seq_len=8, batch=2)
-    vocab_words = 2000
+    vocab_words = V - 2  # the whole 49k table is reachable
     w2i = {"<s>": 0, "<unk>": 1}
     for i in range(vocab_words):
         w2i[f"w{i}"] = 2 + i

@@ -119,3 +119,60 @@ def test_pipeline_sanity_test_branch(setup):
     assert res.n_utts == 1 and res.n_hyps == 2
     assert os.path.exists(res.rescored_lattices)
     assert res.wer_by_lmwt == {}  # stops before rescoring, like the reference
+
+
+def test_pipeline_adversarial_real_data_shapes(tmp_path):
+    """Messy-data pipeline run (VERDICT r2 item 9): epsilon arcs, multiple
+    final states, unicode words, duplicate word sequences from distinct
+    paths, and a GZIPPED BINARY CompactLattice input — through the full
+    pipeline (real BatchScorer) with ARPA removal and the WER sweep."""
+    import gzip
+
+    words = ["<eps>", "<s>", "<unk>", "café", "naïve", "日本語", "день"]
+    words_txt = tmp_path / "words.txt"
+    words_txt.write_text("".join(f"{w} {i}\n" for i, w in enumerate(words)),
+                         encoding="utf-8")
+    # u1: eps arc into two parallel 'café день' paths (duplicate word seq)
+    #     plus 'naïve день'; two distinct final states.
+    lats_text = (
+        "u1\n"
+        "0 1 0 0.2,0.1\n"      # epsilon
+        "1 2 3 0.5,0.5\n"      # café
+        "0 2 3 1.0,0.8\n"      # café (second path, same word)
+        "1 3 4 0.9,0.4\n"      # naïve
+        "2 4 6 0.1,0.1\n"      # день
+        "3 0.5,0.2\n"
+        "4 0.1,0.1\n\n"
+        "u2\n"
+        "0 1 5 0.3,0.4\n"      # 日本語
+        "1\n\n"
+    )
+    src = tmp_path / "lats.txt"
+    src.write_text(lats_text, encoding="utf-8")
+    # convert to gzipped binary (the decode-dir shape)
+    binark = tmp_path / "lats.ark"
+    subprocess.run([os.path.join(ROOT, "tools", "bin", "lattice_copy"),
+                    "--binary", str(src), str(binark)],
+                   check=True, capture_output=True)
+    gz = tmp_path / "lat.1.gz"
+    gz.write_bytes(gzip.compress(binark.read_bytes()))
+
+    ref = tmp_path / "ref.txt"
+    ref.write_text("u1 café день\nu2 日本語\n", encoding="utf-8")
+
+    cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=8, nhid=8,
+                      dropout=0.0)
+    scorer = BatchScorer(cfg, init_params(build_model(cfg), cfg),
+                         RescoreConfig(max_hyp_len=16, carry_over=True))
+    w2i = {w: i for i, w in enumerate(words)}
+    rcfg = RescoreConfig(nbest=5, nn_weight=0.5, min_lmwt=7, max_lmwt=9)
+    res = run_pipeline(str(gz), str(words_txt), scorer, w2i,
+                       str(tmp_path / "wd"), rcfg, ref_text=str(ref))
+    assert res.n_utts == 2
+    # u1 yields 3 paths (dup 'café день' twice + 'naïve день'), u2 one
+    assert res.n_hyps == 4
+    assert set(res.wer_by_lmwt) == set(range(7, 10))
+    assert res.best_wer is not None
+    # unicode hypotheses survived int2sym byte-exactly
+    hyps = (tmp_path / "wd" / "words.txt").read_text(encoding="utf-8")
+    assert "café" in hyps and ("日本語" in hyps or "день" in hyps)

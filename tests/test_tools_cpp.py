@@ -372,3 +372,60 @@ def test_binary_marker_on_text_input_errors(tmp_path):
                           capture_output=True, text=True)
     assert proc.returncode != 0
     assert "magic" in proc.stderr or "truncated" in proc.stderr
+
+
+def test_adversarial_lattice_eps_multifinal_dup(tmp_path):
+    """Real-data-shaped hazards: epsilon (word 0) arcs contribute cost but no
+    words, several final states with distinct final costs all terminate
+    paths, and two distinct lattice paths yielding the SAME word sequence
+    both appear in the n-best (Kaldi emits them as separate hypotheses)."""
+    lat = tmp_path / "lats.txt"
+    # path A: 0-(eps)->1-(w5)->3(final 0.5,0.5)    cost 0.2+1.0 + final
+    # path B: 0-(w5)->2(final 2.0,1.0)             same words "5", diff path
+    # path C: 0-(eps)->1-(w6)->3                    words "6"
+    lat.write_text(
+        "u1\n"
+        "0 1 0 0.2,0.1\n"
+        "0 2 5 0.3,0.2\n"
+        "1 3 5 1.0,0.5\n"
+        "1 3 6 4.0,2.0\n"
+        "2 2.0,1.0\n"
+        "3 0.5,0.5\n\n")
+    w, g, a = tmp_path / "w", tmp_path / "g", tmp_path / "a"
+    subprocess.run(
+        [tool("lattice_to_nbest"), "--n=5", "--acoustic-scale=0.1",
+         str(lat), str(w), str(g), str(a)],
+        check=True, capture_output=True)
+    words = [l.split(None, 1) for l in w.read_text().splitlines()]
+    graphs = [float(l.split()[1]) for l in g.read_text().splitlines()]
+    acs = [float(l.split()[1]) for l in a.read_text().splitlines()]
+    # costs at acwt=0.1 (incl. finals):
+    #   A: g=0.2+1.0+0.5=1.7  ac=0.1+0.5+0.5=1.1  -> 1.81
+    #   B: g=0.3+2.0=2.3      ac=0.2+1.0=1.2      -> 2.42
+    #   C: g=0.2+4.0+0.5=4.7  ac=0.1+2.0+0.5=2.6  -> 4.96
+    assert [x[1] for x in words] == ["5", "5", "6"]  # dup word seq kept
+    assert abs(graphs[0] - 1.7) < 1e-6 and abs(acs[0] - 1.1) < 1e-6
+    assert abs(graphs[1] - 2.3) < 1e-6 and abs(acs[1] - 1.2) < 1e-6
+    assert abs(graphs[2] - 4.7) < 1e-6 and abs(acs[2] - 2.6) < 1e-6
+
+
+def test_unicode_int2sym_and_wer(tmp_path):
+    """UTF-8 symbols flow through int2sym byte-exactly and WER aligns
+    multi-byte words as units."""
+    syms = tmp_path / "words.txt"
+    syms.write_text("<eps> 0\ncafé 1\n日本語 2\nnaïve 3\nbücher 4\n",
+                    encoding="utf-8")
+    ints = tmp_path / "ints.txt"
+    ints.write_text("u1 1 2 3\nu2 4\n")
+    out = tmp_path / "out.txt"
+    subprocess.run([tool("int2sym"), str(syms), str(ints), str(out)],
+                   check=True, capture_output=True)
+    assert out.read_text(encoding="utf-8") == "u1 café 日本語 naïve\nu2 bücher\n"
+
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("u1 café 日本語 naïve\n", encoding="utf-8")
+    hyp.write_text("u1 café 日本語 naive\n", encoding="utf-8")  # 1 sub
+    proc = subprocess.run([tool("wer"), str(ref), str(hyp)],
+                          check=True, capture_output=True, text=True)
+    assert "3, 0 ins, 0 del, 1 sub" in proc.stdout
