@@ -661,9 +661,6 @@ class BatchScorer:
             ]
             for k in keys
         }
-        max_len = max((len(x) for k in keys for x, *_ in enc[k]), default=1)
-        T = bucket_for(max_len, buckets)
-
         cdtype = jnp.dtype(self.cfg.compute_dtype)
         carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
         carry2 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
@@ -671,6 +668,18 @@ class BatchScorer:
         U_CHUNK = min(rc.carry_chunk_utts, U_total)
         for s in range(0, U_total, U_CHUNK):
             U = U_CHUNK  # fixed shape; ragged tail padded with zero masks
+            # Per-chunk time bucket: T covers only the utterances in THIS
+            # chunk window, so one long utterance inflates padding for its
+            # own chunk only, not the whole run (geometric buckets keep the
+            # number of compiled shapes bounded, like the bucketed path).
+            chunk_max = max(
+                (len(x)
+                 for skeys in stream_keys
+                 for k in skeys[s : s + U_CHUNK]
+                 for x, *_ in enc[k]),
+                default=1,
+            )
+            T = bucket_for(chunk_max, buckets)
             data = np.zeros((U, T, G * N), np.int32)
             tgt = np.zeros((U, T, G * N), np.int32)
             mask = np.zeros((U, T, G * N), np.float32)
