@@ -1,0 +1,147 @@
+"""Collect the convergence campaign's train.logs into docs/CONVERGENCE.md.
+
+Both sides log the same line formats (ours mirrors the reference train.py):
+  | end of epoch N | time: Ts | valid loss L | valid ppl P
+  | End of training | test loss L | test ppl P
+
+Pairs torch_<name> with ours_<name> runs, tabulates per-epoch valid PPL,
+final test PPL, PPL ratio (ours/torch), and plateau events (epochs where
+valid loss did not improve => LR halved + best reloaded on both sides).
+
+Usage: python tools/convergence_report.py [--out docs/CONVERGENCE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+EPOCH = re.compile(
+    r"\| end of epoch\s+(\d+) \| time:\s*([0-9.]+)s \| valid loss\s*([0-9.]+) "
+    r"\| valid ppl\s*([0-9.]+)")
+FINAL = re.compile(r"\| End of training \| test loss\s*([0-9.]+) "
+                   r"\| test ppl\s*([0-9.]+)")
+BATCH_LR = re.compile(r"\| epoch\s+(\d+) \|\s+\d+/\s*\d+ batches "
+                      r"\| lr\s*([0-9.]+) ")
+
+
+def parse_log(path):
+    txt = open(path, errors="ignore").read()
+    epochs = [
+        {"epoch": int(m[0]), "time_s": float(m[1]), "val_loss": float(m[2]),
+         "val_ppl": float(m[3])}
+        for m in EPOCH.findall(txt)
+    ]
+    fin = FINAL.search(txt)
+    # Plateau events = LR halvings, read off the per-batch log lines (both
+    # sides print "| lr X |"): the epoch-summary valid losses are rounded to
+    # 2 decimals, far too coarse to reconstruct the scheduler's decisions.
+    lr_by_epoch = {}
+    for ep, lr in BATCH_LR.findall(txt):
+        lr_by_epoch[int(ep)] = float(lr)
+    plateaus = [
+        ep for ep in sorted(lr_by_epoch)
+        if ep - 1 in lr_by_epoch and lr_by_epoch[ep] < lr_by_epoch[ep - 1]
+    ]
+    return {
+        "epochs": epochs,
+        "test_loss": float(fin[1]) if fin else None,
+        "test_ppl": float(fin[2]) if fin else None,
+        "best_val_ppl": min((e["val_ppl"] for e in epochs), default=None),
+        "plateau_epochs": plateaus,
+        "n_epochs": len(epochs),
+        "total_time_s": sum(e["time_s"] for e in epochs),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--campaign", default="exp/campaign")
+    ap.add_argument("--out", default="docs/CONVERGENCE.md")
+    ap.add_argument("--json-out", default="docs/convergence.json")
+    args = ap.parse_args()
+
+    runs = {}
+    for d in sorted(glob.glob(os.path.join(args.campaign, "*"))):
+        log = os.path.join(d, "train.log")
+        if os.path.isfile(log):
+            runs[os.path.basename(d)] = parse_log(log)
+
+    names = sorted({n.split("_", 1)[1] for n in runs if "_" in n})
+    lines = [
+        "# Convergence campaign — framework vs the reference's own torch train.py",
+        "",
+        "Corpus: `exp/corpus_mid` (1.2M train tokens, 10k vocab, harvested real",
+        "English prose — tools/build_doc_corpus.py), identical data files on",
+        "both sides. Schedule: the full reference recipe — batch 32, seq_len 100,",
+        "32 epochs max, SGD momentum 0.9, clip 1.0, halve-LR-and-reload-best on",
+        "plateau, early stop after 8 plateaus (train.py:464-512). Torch side =",
+        "`/root/reference/steps/pytorchnn/train.py` run unmodified on CPU",
+        "(tools/run_torch_campaign.sh); our side = `bayeslm train` on the real",
+        "TPU chip (tools/run_ours_campaign.sh). Seeds differ in effect (different",
+        "RNG streams); parity is judged on converged PPL, not per-step noise.",
+        "",
+        "| config | side | epochs | best valid ppl | test ppl | ratio (ours/torch) | plateaus |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    summary = {}
+    for name in names:
+        t = runs.get(f"torch_{name}")
+        o = runs.get(f"ours_{name}")
+        ratio = None
+        if t and o and t.get("test_ppl") and o.get("test_ppl"):
+            ratio = o["test_ppl"] / t["test_ppl"]
+        for side, r in (("torch", t), ("ours", o)):
+            if not r:
+                continue
+            tp = f"{r['test_ppl']:.2f}" if r["test_ppl"] else "(running)"
+            bv = f"{r['best_val_ppl']:.2f}" if r["best_val_ppl"] else "-"
+            rcell = f"{ratio:.4f}" if (ratio and side == "ours") else ""
+            lines.append(
+                f"| {name} | {side} | {r['n_epochs']} "
+                f"| {bv} | {tp} | {rcell} "
+                f"| {len(r['plateau_epochs'])} at {r['plateau_epochs'][:6]} |"
+            )
+        summary[name] = {"torch": t, "ours": o, "test_ppl_ratio": ratio}
+
+    flags = {n: r for n, r in runs.items() if n.startswith("flagship_")}
+    if flags:
+        lines += [
+            "",
+            "## Flagship geometry (exp/corpus_full: 10.7M tokens, 50k vocab, real TPU)",
+            "",
+            "The reference's own geometries (LSTM 1024/1024x2 lr 5; Transformer",
+            "512/4096x6/8h lr 0.1) through the same full schedule. No torch twin",
+            "at this scale — a single torch-CPU epoch at 1024x2 costs ~4 hours on",
+            "this box's one core vs ~1 minute here; the mid-scale A/B above is",
+            "the cross-framework anchor, these runs demonstrate flagship-scale",
+            "training dynamics (plateau schedule firing, stable convergence).",
+            "",
+            "| config | epochs | best valid ppl | test ppl | plateaus | total train time |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n, r in sorted(flags.items()):
+            tp = f"{r['test_ppl']:.2f}" if r["test_ppl"] else "(running)"
+            bv = f"{r['best_val_ppl']:.2f}" if r["best_val_ppl"] else "-"
+            lines.append(
+                f"| {n[len('flagship_'):]} | {r['n_epochs']} "
+                f"| {bv} | {tp} "
+                f"| {len(r['plateau_epochs'])} at {r['plateau_epochs'][:6]} "
+                f"| {r['total_time_s']/60:.1f} min |"
+            )
+        summary["flagship"] = flags
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(args.json_out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {args.out} ({len(names)} paired configs, "
+          f"{len(flags)} flagship runs)")
+
+
+if __name__ == "__main__":
+    main()

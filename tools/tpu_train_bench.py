@@ -17,6 +17,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16 FLOP/s
+
+
+def train_flops_per_step(cfg, T, B):
+    """Matmul FLOPs of one optimizer step (fwd + bwd = 3x fwd, each matmul
+    2*MACs): recurrent/projection/FFN weights + the tied decoder + (TM)
+    attention score/value einsums. Embedding gathers and elementwise ops are
+    excluded — they are HBM-bound, not MXU work."""
+    tokens = T * B
+    if cfg.is_transformer:
+        E, F, L, h = cfg.emsize, cfg.nhid, cfg.nlayers, cfg.nhead
+        proj = L * (4 * E * E + 2 * E * F)      # qkv+o and the two FFN mats
+        dec = E * cfg.vocab_size
+        attn = L * 2 * (T * T * E) * B * 2      # QK^T and PV, fwd, FLOPs
+        return 6 * (proj + dec) * tokens + 3 * attn
+    H, E, L = cfg.nhid, cfg.emsize, cfg.nlayers
+    rec = 4 * H * E + (L - 1) * 4 * H * H + L * 4 * H * H  # W_ih + W_hh
+    dec = H * cfg.vocab_size
+    return 6 * (rec + dec) * tokens
+
+
 def bench_model(name, cfg, steps=20):
     from bayeslms_tpu import TrainConfig
     from bayeslms_tpu.models.lstm_lm import init_hidden
@@ -50,7 +71,11 @@ def bench_model(name, cfg, steps=20):
     float(out[3])  # single sync at the end
     dt = (time.perf_counter() - t0) / steps
     toks = T * B / dt
-    print(f"{name}: {dt*1000:.1f} ms/step, {toks/1e3:.1f}k tokens/sec", flush=True)
+    peak = float(os.environ.get("BAYESLM_PEAK_FLOPS", V5E_PEAK_BF16))
+    fl = train_flops_per_step(cfg, T, B)
+    mfu = fl / dt / peak
+    print(f"{name}: {dt*1000:.1f} ms/step, {toks/1e3:.1f}k tokens/sec, "
+          f"{fl/1e9:.0f} GFLOP/step, MFU {mfu*100:.1f}%", flush=True)
     return toks
 
 
