@@ -30,8 +30,41 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 
 
+def _unroll(T: int) -> int:
+    """Time-unroll factor: several sequential LSTM steps per grid iteration
+    amortize the per-grid-step fixed cost (pipeline bookkeeping, semaphores,
+    carry loads) that dominates the latency-bound recurrence at small batch.
+    Measured on v5e (H=1024, B=32, T=100): U=5 cuts the fused train step
+    ~frac of the recurrence overhead; any divisor of T is valid."""
+    for u in (8, 5, 4, 2):
+        if T % u == 0:
+            return u
+    return 1
+
+
+def _cell_step(xg_row, h, c, keep, whh_ref, bhh, dtype):
+    """One LSTM time step in fp32 activations (bf16 MXU matmul)."""
+    gates = (
+        xg_row.astype(jnp.float32)
+        + jnp.dot(h.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        + bhh
+    )
+    H = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    if keep is not None:
+        h_new = keep * h_new + (1.0 - keep) * h
+        c_new = keep * c_new + (1.0 - keep) * c
+    return h_new, c_new
+
+
 def _kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
-            ys_ref, hT_ref, cT_ref, h_scr, c_scr, *, T: int, masked: bool):
+            ys_ref, hT_ref, cT_ref, h_scr, c_scr,
+            *, TB: int, U: int, masked: bool):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -41,34 +74,23 @@ def _kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
 
     # Gates and nonlinearities run in fp32 (Mosaic's transcendentals want a
     # uniform element type; fp32 also keeps the carried cell state accurate),
-    # while the MXU matmul consumes the bf16 weight block directly.
+    # while the MXU matmul consumes the bf16 weight block directly. U
+    # sequential steps run per grid iteration (see _unroll).
     h = h_scr[:]
     c = c_scr[:]
     dtype = ys_ref.dtype
-    gates = (
-        xg_ref[0].astype(jnp.float32)
-        + jnp.dot(h.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
-        + bhh_ref[0].astype(jnp.float32)
-    )
-    H = gates.shape[-1] // 4
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    if masked:
-        keep = mask_ref[0][:, :1].astype(jnp.float32)  # (B, 1)
-        h_new = keep * h_new + (1.0 - keep) * h
-        c_new = keep * c_new + (1.0 - keep) * c
-    h_scr[:] = h_new
-    c_scr[:] = c_new
-    ys_ref[0] = h_new.astype(dtype)
+    bhh = bhh_ref[0].astype(jnp.float32)
+    for u in range(U):
+        keep = mask_ref[u][:, :1].astype(jnp.float32) if masked else None
+        h, c = _cell_step(xg_ref[u], h, c, keep, whh_ref, bhh, dtype)
+        ys_ref[u] = h.astype(dtype)
+    h_scr[:] = h
+    c_scr[:] = c
 
-    @pl.when(t == T - 1)
+    @pl.when(t == TB - 1)
     def _():
-        hT_ref[:] = h_new.astype(dtype)
-        cT_ref[:] = c_new.astype(dtype)
+        hT_ref[:] = h.astype(dtype)
+        cT_ref[:] = c.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("masked",))
@@ -76,21 +98,23 @@ def _run(xg, w_hh_t, b_hh, mask, h0, c0, masked: bool):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    kernel = functools.partial(_kernel, T=T, masked=masked)
-    grid = (T,)
+    U = _unroll(T)
+    TB = T // U
+    kernel = functools.partial(_kernel, TB=TB, U=U, masked=masked)
+    grid = (TB,)
     ys, hT, cT = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -155,7 +179,7 @@ def lstm_layer_pallas(
 
 def _train_fwd_kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
                       ys_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr,
-                      *, T: int):
+                      *, TB: int, U: int):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -166,36 +190,28 @@ def _train_fwd_kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
     h = h_scr[:]
     c = c_scr[:]
     dtype = ys_ref.dtype
-    gates = (
-        xg_ref[0].astype(jnp.float32)
-        + jnp.dot(h.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
-        + bhh_ref[0].astype(jnp.float32)
-    )
-    H = gates.shape[-1] // 4
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    keep = mask_ref[0][:, :1].astype(jnp.float32)
-    h_new = keep * h_new + (1.0 - keep) * h
-    c_new = keep * c_new + (1.0 - keep) * c
-    h_scr[:] = h_new
-    c_scr[:] = c_new
-    ys_ref[0] = h_new.astype(dtype)
-    cs_ref[0] = c_new.astype(dtype)
+    bhh = bhh_ref[0].astype(jnp.float32)
+    for u in range(U):
+        keep = mask_ref[u][:, :1].astype(jnp.float32)
+        h, c = _cell_step(xg_ref[u], h, c, keep, whh_ref, bhh, dtype)
+        ys_ref[u] = h.astype(dtype)
+        cs_ref[u] = c.astype(dtype)
+    h_scr[:] = h
+    c_scr[:] = c
 
-    @pl.when(t == T - 1)
+    @pl.when(t == TB - 1)
     def _():
-        hT_ref[:] = h_new.astype(dtype)
-        cT_ref[:] = c_new.astype(dtype)
+        hT_ref[:] = h.astype(dtype)
+        cT_ref[:] = c.astype(dtype)
 
 
 def _train_bwd_kernel(xg_ref, hprev_ref, cprev_ref, dy_ref, mask_ref,
                       whh_ref, bhh_ref, dhT_ref, dcT_ref,
-                      du_ref, dh0_ref, dc0_ref, dh_scr, dc_scr, *, T: int):
-    tr = pl.program_id(0)  # 0..T-1 walking time BACKWARD (blocks map T-1-tr)
+                      du_ref, dh0_ref, dc0_ref, dh_scr, dc_scr,
+                      *, TB: int, U: int):
+    # grid walks time BACKWARD in U-step blocks (block map TB-1-tr); rows
+    # within a block are in forward time order, so u runs U-1 .. 0.
+    tr = pl.program_id(0)
 
     @pl.when(tr == 0)
     def _():
@@ -203,54 +219,58 @@ def _train_bwd_kernel(xg_ref, hprev_ref, cprev_ref, dy_ref, mask_ref,
         dc_scr[:] = dcT_ref[:].astype(jnp.float32)
 
     dtype = du_ref.dtype
-    h_prev = hprev_ref[0].astype(jnp.float32)
-    c_prev = cprev_ref[0].astype(jnp.float32)
-    keep = mask_ref[0][:, :1].astype(jnp.float32)
+    bhh = bhh_ref[0].astype(jnp.float32)
+    dh = dh_scr[:]
+    dc = dc_scr[:]
+    for u in reversed(range(U)):
+        h_prev = hprev_ref[u].astype(jnp.float32)
+        c_prev = cprev_ref[u].astype(jnp.float32)
+        keep = mask_ref[u][:, :1].astype(jnp.float32)
 
-    # recompute this step's gate activations and candidate cell
-    gates = (
-        xg_ref[0].astype(jnp.float32)
-        + jnp.dot(h_prev.astype(dtype), whh_ref[:], preferred_element_type=jnp.float32)
-        + bhh_ref[0].astype(jnp.float32)
-    )
-    H = gates.shape[-1] // 4
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_cand = f * c_prev + i * g
-    tc = jnp.tanh(c_cand)
+        # recompute this step's gate activations and candidate cell
+        gates = (
+            xg_ref[u].astype(jnp.float32)
+            + jnp.dot(h_prev.astype(dtype), whh_ref[:],
+                      preferred_element_type=jnp.float32)
+            + bhh
+        )
+        H = gates.shape[-1] // 4
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_cand = f * c_prev + i * g
+        tc = jnp.tanh(c_cand)
 
-    dh_tot = dh_scr[:] + dy_ref[0].astype(jnp.float32)
-    dc_tot = dc_scr[:]
-    dh_new = keep * dh_tot
-    dc_new = keep * dc_tot
+        dh_tot = dh + dy_ref[u].astype(jnp.float32)
+        dc_tot = dc
+        dh_new = keep * dh_tot
+        dc_new = keep * dc_tot
 
-    do = dh_new * tc
-    dc_cand = dc_new + dh_new * o * (1.0 - tc * tc)
-    di = dc_cand * g
-    df = dc_cand * c_prev
-    dg = dc_cand * i
-    dc_prev = dc_cand * f + (1.0 - keep) * dc_tot
+        do = dh_new * tc
+        dc_cand = dc_new + dh_new * o * (1.0 - tc * tc)
+        di = dc_cand * g
+        df = dc_cand * c_prev
+        dg = dc_cand * i
+        dc = dc_cand * f + (1.0 - keep) * dc_tot
 
-    du = jnp.concatenate(
-        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
-         do * o * (1.0 - o)], axis=-1,
-    )
-    # dh_prev: du @ W_hh (contract the 4H axis of the resident (H, 4H) block)
-    dh_prev = jax.lax.dot_general(
-        du.astype(dtype), whh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + (1.0 - keep) * dh_tot
+        du = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+             do * o * (1.0 - o)], axis=-1,
+        )
+        # dh_prev: du @ W_hh (contract the 4H axis of the resident block)
+        dh = jax.lax.dot_general(
+            du.astype(dtype), whh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + (1.0 - keep) * dh_tot
+        du_ref[u] = du.astype(dtype)
+    dh_scr[:] = dh
+    dc_scr[:] = dc
 
-    dh_scr[:] = dh_prev
-    dc_scr[:] = dc_prev
-    du_ref[0] = du.astype(dtype)
-
-    @pl.when(tr == T - 1)
+    @pl.when(tr == TB - 1)
     def _():
-        dh0_ref[:] = dh_prev.astype(dtype)
-        dc0_ref[:] = dc_prev.astype(dtype)
+        dh0_ref[:] = dh.astype(dtype)
+        dc0_ref[:] = dc.astype(dtype)
 
 
 @jax.jit
@@ -258,20 +278,22 @@ def _train_fwd_run(xg, w_hh_t, b_hh, mask, h0, c0):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
+    U = _unroll(T)
+    TB = T // U
     return pl.pallas_call(
-        functools.partial(_train_fwd_kernel, T=T),
-        grid=(T,),
+        functools.partial(_train_fwd_kernel, TB=TB, U=U),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -294,23 +316,25 @@ def _train_bwd_run(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    rev = lambda t: (T - 1 - t, 0, 0)
+    U = _unroll(T)
+    TB = T // U
+    rev = lambda t: (TB - 1 - t, 0, 0)  # U-step blocks, walked backward
     return pl.pallas_call(
-        functools.partial(_train_bwd_kernel, T=T),
-        grid=(T,),
+        functools.partial(_train_bwd_kernel, TB=TB, U=U),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 8), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 8), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, G), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],

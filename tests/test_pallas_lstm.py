@@ -90,3 +90,49 @@ def test_lstm_train_fused_grads_match_scan(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=1e-5,
                                        err_msg=f"{name} mask={mask is not None}")
+
+
+@pytest.mark.parametrize("T", [10, 16, 9])  # U = 5, 8, 1 (prime-ish tail)
+def test_time_unroll_factors_match_scan(T):
+    """The time-unrolled grid (U sequential steps per iteration) is exact for
+    every unroll factor, forward AND backward, masked."""
+    rng = np.random.default_rng(11)
+    B, E, H = 4, 8, 8
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    p = LSTMParams(
+        w_ih=jnp.asarray(rng.normal(size=(4 * H, E)).astype(np.float32) * 0.3),
+        w_hh=jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * 0.3),
+        b_ih=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+        b_hh=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+    )
+    mask = jnp.asarray((rng.uniform(size=(T, B)) > 0.3).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    ys_ref, hT_ref, cT_ref = lstm_layer(x, h0, c0, p, step_mask=mask,
+                                        allow_pallas=False)
+    ys, hT, cT = lp.lstm_layer_pallas(x, h0, c0, p.w_ih, p.w_hh,
+                                      p.b_ih, p.b_hh, mask)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(w_hh):
+        p2 = LSTMParams(p.w_ih, w_hh, p.b_ih, p.b_hh)
+        ys, hT, cT = lp.lstm_layer_pallas_train(
+            x, h0, c0, p2.w_ih, p2.w_hh, p2.b_ih, p2.b_hh, mask)
+        return jnp.sum(ys * dy) + jnp.sum(hT) + jnp.sum(cT)
+
+    def loss_scan(w_hh):
+        p2 = LSTMParams(p.w_ih, w_hh, p.b_ih, p.b_hh)
+        ys, hT, cT = lstm_layer(x, h0, c0, p2, step_mask=mask,
+                                allow_pallas=False)
+        return jnp.sum(ys * dy) + jnp.sum(hT) + jnp.sum(cT)
+
+    v1, g1 = jax.value_and_grad(loss_fused)(p.w_hh)
+    v2, g2 = jax.value_and_grad(loss_scan)(p.w_hh)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-4, atol=1e-5)
