@@ -13,9 +13,16 @@ masks framework differences. This harness removes that variable:
    identical init internally) and compare per-epoch valid PPL.
 
 Measured (LSTM 256/256x2, 10k vocab, 98k-token corpus slice, dropout 0,
-lr 5, 6 epochs, 2026-08-17): per-epoch valid PPL within 1% of torch at
-every epoch (ep1 906.17 vs 905.89; ep3 495.92 vs 499.83) — versus ~5%
-final-PPL spread between different init seeds at this scale.
+lr 5, 6 epochs, 2026-08-17):
+
+  valid ppl   ep1     ep2     ep3     ep4     ep5     ep6    test
+  torch     905.89  624.09  499.83  416.25  378.08  324.10  331.08
+  ours      906.17  615.37  503.59  414.47  372.42  325.57  334.37
+  ratio     1.0003  0.986   1.008   0.996   0.985   1.005   1.0100
+
+Final test-PPL ratio 1.010 with IDENTICAL initial weights — versus ~5%
+final-PPL spread between different init seeds at this scale (the campaign
+A/B's residual gap is init variance, not framework dynamics).
 
 Usage:
   python tools/same_init_parity.py --data exp/corpus_mid --epochs 6 \
