@@ -84,8 +84,8 @@ def main():
         "TPU chip (tools/run_ours_campaign.sh). Seeds differ in effect (different",
         "RNG streams); parity is judged on converged PPL, not per-step noise.",
         "",
-        "| config | side | epochs | best valid ppl | test ppl | ratio (ours/torch) | plateaus |",
-        "|---|---|---|---|---|---|---|",
+        "| config | side | epochs | best valid ppl | test ppl | test ratio (ours/torch) | valid ratio @ shared epoch | plateaus |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     summary = {}
     for name in names:
@@ -94,18 +94,31 @@ def main():
         ratio = None
         if t and o and t.get("test_ppl") and o.get("test_ppl"):
             ratio = o["test_ppl"] / t["test_ppl"]
+        # matched-epoch valid-PPL ratio: some torch configs run a SHORT
+        # budget (one core); dynamics are compared at the last shared epoch
+        ek = ratio_k = None
+        if t and o and t["epochs"] and o["epochs"]:
+            ek = min(t["n_epochs"], o["n_epochs"])
+            tv = next((e["val_ppl"] for e in t["epochs"] if e["epoch"] == ek), None)
+            ov = next((e["val_ppl"] for e in o["epochs"] if e["epoch"] == ek), None)
+            if tv and ov:
+                ratio_k = ov / tv
         for side, r in (("torch", t), ("ours", o)):
             if not r:
                 continue
             tp = f"{r['test_ppl']:.2f}" if r["test_ppl"] else "(running)"
             bv = f"{r['best_val_ppl']:.2f}" if r["best_val_ppl"] else "-"
             rcell = f"{ratio:.4f}" if (ratio and side == "ours") else ""
+            rk = (f"{ratio_k:.4f} @ ep{ek}"
+                  if (ratio_k and side == "ours") else "")
             lines.append(
                 f"| {name} | {side} | {r['n_epochs']} "
-                f"| {bv} | {tp} | {rcell} "
+                f"| {bv} | {tp} | {rcell} | {rk} "
                 f"| {len(r['plateau_epochs'])} at {r['plateau_epochs'][:6]} |"
             )
-        summary[name] = {"torch": t, "ours": o, "test_ppl_ratio": ratio}
+        summary[name] = {"torch": t, "ours": o, "test_ppl_ratio": ratio,
+                         "valid_ppl_ratio_at_shared_epoch": ratio_k,
+                         "shared_epoch": ek}
 
     flags = {n: r for n, r in runs.items() if n.startswith("flagship_")}
     if flags:
