@@ -86,7 +86,7 @@ def lstm_layer(
         from .lstm_pallas import lstm_layer_pallas, pallas_lstm_ok
 
         if os.environ.get("BAYESLM_PALLAS_LSTM", "1") != "0" and pallas_lstm_ok(
-            p.w_hh.shape[1], x.dtype
+            p.w_hh.shape[1], x.dtype, batch=x.shape[1]
         ):
             return lstm_layer_pallas(
                 x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
@@ -97,7 +97,7 @@ def lstm_layer(
         from .lstm_pallas import lstm_layer_pallas_train, pallas_lstm_ok
 
         if os.environ.get("BAYESLM_PALLAS_LSTM_TRAIN", "1") != "0" and pallas_lstm_ok(
-            p.w_hh.shape[1], x.dtype
+            p.w_hh.shape[1], x.dtype, batch=x.shape[1], train=True
         ):
             return lstm_layer_pallas_train(
                 x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask

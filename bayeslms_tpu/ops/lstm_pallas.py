@@ -30,14 +30,46 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 
 
-def _unroll(T: int) -> int:
+# Scoped-VMEM ceiling requested from Mosaic for these kernels (v5e has
+# 128 MB VMEM/core; the default 16 MB cap is far too small for a
+# double-buffered (U, B, 4H) gate block at scoring batch sizes).
+_VMEM_LIMIT = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _est_vmem(U: int, B: int, H: int, row_elems: int, itemsize: int) -> int:
+    """Upper-bound scoped-VMEM bytes for one grid step. ``row_elems`` is the
+    total element count per (time-step, batch-row) across all time-walked
+    operands/results — those blocks are double-buffered by the pipeline, as
+    is the resident (H, 4H) W_hh block. Fixed terms: mask block, carries,
+    fp32 scratch."""
+    G = 4 * H
+    seq = 2 * U * B * row_elems * itemsize          # double-buffered blocks
+    whh = 2 * H * G * itemsize                      # resident, double-buffered
+    fixed = (6 * B * H + G) * itemsize + 2 * B * H * 4 \
+        + 2 * U * B * 8 * itemsize                  # h0/c0/hT/cT, bhh, scratch, mask
+    return seq + whh + fixed
+
+
+# Per-(step, row) elements of the time-walked blocks for each kernel variant
+# (H units): fwd = xg 4H + ys H; train-fwd adds cs H; train-bwd walks
+# xg 4H + hprev/cprev/dy 3H + du 4H.
+_ROWS_FWD = 5
+_ROWS_TRAIN_FWD = 6
+_ROWS_TRAIN_BWD = 11
+
+
+def _unroll(T: int, B: int, H: int, rows_h: int, itemsize: int) -> int:
     """Time-unroll factor: several sequential LSTM steps per grid iteration
     amortize the per-grid-step fixed cost (pipeline bookkeeping, semaphores,
     carry loads) that dominates the latency-bound recurrence at small batch.
     Measured on v5e (H=1024, B=32, T=100): U=5 cuts the fused train step
-    ~frac of the recurrence overhead; any divisor of T is valid."""
+    ~frac of the recurrence overhead. The factor is capped so the
+    double-buffered blocks fit the scoped-VMEM budget at the given batch
+    (scoring batches reach hundreds of rows)."""
+    budget = int(0.9 * _VMEM_LIMIT)
     for u in (8, 5, 4, 2):
-        if T % u == 0:
+        if T % u == 0 and _est_vmem(u, B, H, rows_h * H, itemsize) <= budget:
             return u
     return 1
 
@@ -98,7 +130,7 @@ def _run(xg, w_hh_t, b_hh, mask, h0, c0, masked: bool):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    U = _unroll(T)
+    U = _unroll(T, B, H, _ROWS_FWD, jnp.dtype(dtype).itemsize)
     TB = T // U
     kernel = functools.partial(_kernel, TB=TB, U=U, masked=masked)
     grid = (TB,)
@@ -127,6 +159,7 @@ def _run(xg, w_hh_t, b_hh, mask, h0, c0, masked: bool):
             pltpu.VMEM((B, H), jnp.float32),  # h carry (fp32 for stability)
             pltpu.VMEM((B, H), jnp.float32),  # c carry
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_INTERPRET,
     )(xg, w_hh_t, b_hh, mask, h0, c0)
     return ys, hT, cT
@@ -278,7 +311,7 @@ def _train_fwd_run(xg, w_hh_t, b_hh, mask, h0, c0):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    U = _unroll(T)
+    U = _unroll(T, B, H, _ROWS_TRAIN_FWD, jnp.dtype(dtype).itemsize)
     TB = T // U
     return pl.pallas_call(
         functools.partial(_train_fwd_kernel, TB=TB, U=U),
@@ -307,6 +340,7 @@ def _train_fwd_run(xg, w_hh_t, b_hh, mask, h0, c0):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_INTERPRET,
     )(xg, w_hh_t, b_hh, mask, h0, c0)
 
@@ -316,7 +350,7 @@ def _train_bwd_run(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    U = _unroll(T)
+    U = _unroll(T, B, H, _ROWS_TRAIN_BWD, jnp.dtype(dtype).itemsize)
     TB = T // U
     rev = lambda t: (TB - 1 - t, 0, 0)  # U-step blocks, walked backward
     return pl.pallas_call(
@@ -350,7 +384,7 @@ def _train_bwd_run(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT):
         # the resident (H, 4H) W_hh block gets double-buffered by the
         # pipeline (8 MB x2 at H=1024), pushing past the default 16 MB
         # scoped-vmem cap; v5e has headroom above it
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_INTERPRET,
     )(xg, hprev, cprev, dy, mask, w_hh_t, b_hh, dhT, dcT)
 
@@ -415,13 +449,23 @@ def lstm_layer_pallas_train(
     return ys, hT, cT
 
 
-def pallas_lstm_ok(nhid: int, dtype) -> bool:
-    """Conservative availability gate: TPU backend + W_hh fits VMEM."""
+def pallas_lstm_ok(nhid: int, dtype, batch: Optional[int] = None,
+                   train: bool = False) -> bool:
+    """Conservative availability gate: TPU backend + W_hh fits VMEM. With
+    ``batch``, also require the worst-case (U=1) block set to fit the
+    scoped-VMEM budget — huge scoring batches must fall back to the scan."""
     try:
         platform = jax.devices()[0].platform
     except Exception:
         return False
     if platform not in ("tpu", "axon"):
         return False
-    whh_bytes = nhid * 4 * nhid * jnp.dtype(dtype).itemsize
-    return whh_bytes <= 8 * 1024 * 1024
+    itemsize = jnp.dtype(dtype).itemsize
+    whh_bytes = nhid * 4 * nhid * itemsize
+    if whh_bytes > 8 * 1024 * 1024:
+        return False
+    if batch is not None:
+        rows = _ROWS_TRAIN_BWD if train else _ROWS_FWD
+        if _est_vmem(1, batch, nhid, rows * nhid, itemsize) > int(0.9 * _VMEM_LIMIT):
+            return False
+    return True

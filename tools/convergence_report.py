@@ -120,6 +120,54 @@ def main():
                          "valid_ppl_ratio_at_shared_epoch": ratio_k,
                          "shared_epoch": ek}
 
+    # Same-initial-weights twins (tools/same_init_parity.py): ours trained
+    # FROM the torch model's exact initial state_dict, vs the reference's
+    # train.py with the same seed — isolates framework dynamics from init
+    # variance. Per-epoch valid-PPL ratio + plateau (LR-halving) alignment.
+    sameinit = {n[len("sameinit_"):]: r for n, r in runs.items()
+                if n.startswith("sameinit_")}
+    si_pairs = {n: (runs.get(f"torch_{n}"), r) for n, r in sameinit.items()
+                if runs.get(f"torch_{n}")}
+    if si_pairs:
+        lines += [
+            "",
+            "## Same-initial-weights dynamics (strongest parity evidence)",
+            "",
+            "Ours trained from the torch side's EXACT initial weights",
+            "(state_dict import, tools/same_init_parity.py), identical data and",
+            "schedule; remaining differences are framework dynamics only",
+            "(bf16 matmuls, dropout RNG stream).",
+            "",
+        ]
+        for n, (t, o) in sorted(si_pairs.items()):
+            te = {e["epoch"]: e["val_ppl"] for e in t["epochs"]}
+            oe = {e["epoch"]: e["val_ppl"] for e in o["epochs"]}
+            shared = sorted(set(te) & set(oe))
+            lines += [f"### {n}", "",
+                      "| epoch | torch valid ppl | ours valid ppl | ratio |",
+                      "|---|---|---|---|"]
+            for ep in shared:
+                lines.append(f"| {ep} | {te[ep]:.2f} | {oe[ep]:.2f} "
+                             f"| {oe[ep]/te[ep]:.4f} |")
+            ratios = [oe[ep] / te[ep] for ep in shared]
+            worst = max((abs(r - 1.0) for r in ratios), default=0.0)
+            tr = (f"{o['test_ppl']/t['test_ppl']:.4f}"
+                  if (t["test_ppl"] and o["test_ppl"]) else "(torch running)")
+            lines += [
+                "",
+                f"Max per-epoch deviation {worst*100:.2f}%; "
+                f"LR halvings: torch at {t['plateau_epochs']}, "
+                f"ours at {o['plateau_epochs']}; final test-PPL ratio {tr}.",
+            ]
+            summary[f"sameinit_{n}"] = {
+                "per_epoch_ratio": {ep: oe[ep] / te[ep] for ep in shared},
+                "max_dev": worst,
+                "torch_plateaus": t["plateau_epochs"],
+                "ours_plateaus": o["plateau_epochs"],
+                "test_ppl_ratio": (o["test_ppl"] / t["test_ppl"]
+                                   if (t["test_ppl"] and o["test_ppl"]) else None),
+            }
+
     flags = {n: r for n, r in runs.items() if n.startswith("flagship_")}
     if flags:
         lines += [
