@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--lr", type=float, default=5.0)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--seed", type=int, default=1111)
+    ap.add_argument("--uncertainty", default="none",
+                    choices=["none", "Bayesian"])
+    ap.add_argument("--l_bayes_pos", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
                     help="e.g. cpu to force off-TPU")
@@ -79,10 +82,17 @@ def main():
     V = len(vocab)
     random.seed(args.seed)
     torch.manual_seed(args.seed)
-    _model_2 = refM.RNNModel("LSTM", V, args.emsize, args.nhid, args.nlayers,
-                             args.dropout, True)
-    ref_model = refM.RNNModel("LSTM", V, args.emsize, args.nhid, args.nlayers,
-                              args.dropout, True)
+    if args.uncertainty == "Bayesian":
+        # Bayesian branch constructs a SINGLE model (train.py:215-217 —
+        # no model_2), so the RNG stream differs from the none branch.
+        ref_model = refM.BayesRNNModel("LSTM", V, args.emsize, args.nhid,
+                                       args.nlayers, args.dropout, True,
+                                       args.l_bayes_pos)
+    else:
+        _model_2 = refM.RNNModel("LSTM", V, args.emsize, args.nhid,
+                                 args.nlayers, args.dropout, True)
+        ref_model = refM.RNNModel("LSTM", V, args.emsize, args.nhid,
+                                  args.nlayers, args.dropout, True)
     sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
 
     # 2. import + train here
@@ -95,7 +105,8 @@ def main():
 
     cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=args.emsize,
                       nhid=args.nhid, nlayers=args.nlayers,
-                      dropout=args.dropout)
+                      dropout=args.dropout, uncertainty=args.uncertainty,
+                      l_bayes_pos=args.l_bayes_pos)
     params = init_params(build_model(cfg), cfg)
     merged, updated = partial_update(params, import_torch_state_dict(sd, cfg))
     print(f"imported {len(updated)} tensors from the reference init")
