@@ -136,3 +136,28 @@ def test_time_unroll_factors_match_scan(T):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_unroll_respects_vmem_budget():
+    """U is capped by the scoped-VMEM estimate (regression: B=200, T=48,
+    H=1024 blew the 16MB default cap at U=8 in the carry-over scorer), and
+    huge batches are rejected by the availability gate so callers fall back
+    to the XLA scan."""
+    s = 2  # bf16
+    # small batch: budget is no constraint, largest divisor wins
+    assert lp._unroll(100, 32, 1024, lp._ROWS_FWD, s) == 5
+    assert lp._unroll(48, 32, 1024, lp._ROWS_FWD, s) == 8
+    # the regression shape fits under the raised cap at U=8
+    u = lp._unroll(48, 200, 1024, lp._ROWS_FWD, s)
+    assert lp._est_vmem(u, 200, 1024, lp._ROWS_FWD * 1024, s) <= int(0.9 * lp._VMEM_LIMIT)
+    # larger batch: U must shrink to fit (train-bwd walks 11H per row)
+    u_big = lp._unroll(48, 512, 1024, lp._ROWS_TRAIN_BWD, s)
+    assert u_big < 8
+    assert lp._est_vmem(u_big, 512, 1024, lp._ROWS_TRAIN_BWD * 1024, s) \
+        <= int(0.9 * lp._VMEM_LIMIT)
+    # huge batch: even U=1 cannot fit -> the gate must refuse (scan
+    # fallback); _est_vmem at U=1 already exceeds the budget
+    assert lp._est_vmem(1, 1600, 1024, lp._ROWS_TRAIN_BWD * 1024, s) \
+        > int(0.9 * lp._VMEM_LIMIT)
+    assert not lp.pallas_lstm_ok(1024, jnp.bfloat16, batch=1600, train=True) \
+        or jax.devices()[0].platform not in ("tpu", "axon")
