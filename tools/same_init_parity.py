@@ -55,9 +55,13 @@ def main():
     ap.add_argument("--lr", type=float, default=5.0)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--seed", type=int, default=1111)
+    ap.add_argument("--model", default="LSTM",
+                    choices=["LSTM", "Transformer"])
+    ap.add_argument("--nhead", type=int, default=4)
     ap.add_argument("--uncertainty", default="none",
-                    choices=["none", "Bayesian"])
+                    choices=["none", "Bayesian", "Gaussian"])
     ap.add_argument("--l_bayes_pos", type=int, default=3)
+    ap.add_argument("--t_gauss_pos", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
                     help="e.g. cpu to force off-TPU")
@@ -82,7 +86,21 @@ def main():
     V = len(vocab)
     random.seed(args.seed)
     torch.manual_seed(args.seed)
-    if args.uncertainty == "Bayesian":
+    if args.model == "Transformer":
+        if args.uncertainty == "Gaussian":
+            # single-model construction (train.py:203-205)
+            ref_model = refM.GaussTransformerModel(
+                V, args.emsize, args.nhead, args.nhid, args.nlayers,
+                args.dropout, True, args.t_gauss_pos)
+        else:
+            # none: model_2 then model, gelu (train.py:195-198)
+            _model_2 = refM.TransformerModel(V, args.emsize, args.nhead,
+                                             args.nhid, args.nlayers,
+                                             args.dropout, "gelu", True)
+            ref_model = refM.TransformerModel(V, args.emsize, args.nhead,
+                                              args.nhid, args.nlayers,
+                                              args.dropout, "gelu", True)
+    elif args.uncertainty == "Bayesian":
         # Bayesian branch constructs a SINGLE model (train.py:215-217 —
         # no model_2), so the RNG stream differs from the none branch.
         ref_model = refM.BayesRNNModel("LSTM", V, args.emsize, args.nhid,
@@ -103,10 +121,11 @@ def main():
     from bayeslms_tpu.data.corpus import Corpus
     from bayeslms_tpu.train.loop import Trainer
 
-    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=args.emsize,
-                      nhid=args.nhid, nlayers=args.nlayers,
+    cfg = ModelConfig(model=args.model, vocab_size=V, emsize=args.emsize,
+                      nhid=args.nhid, nlayers=args.nlayers, nhead=args.nhead,
                       dropout=args.dropout, uncertainty=args.uncertainty,
-                      l_bayes_pos=args.l_bayes_pos)
+                      l_bayes_pos=args.l_bayes_pos,
+                      t_gauss_pos=args.t_gauss_pos)
     params = init_params(build_model(cfg), cfg)
     merged, updated = partial_update(params, import_torch_state_dict(sd, cfg))
     print(f"imported {len(updated)} tensors from the reference init")
