@@ -67,6 +67,13 @@ def _unroll(T: int, B: int, H: int, rows_h: int, itemsize: int) -> int:
     ~frac of the recurrence overhead. The factor is capped so the
     double-buffered blocks fit the scoped-VMEM budget at the given batch
     (scoring batches reach hundreds of rows)."""
+    import os
+
+    forced = os.environ.get("BAYESLM_LSTM_UNROLL")
+    if forced:  # diagnostic override; still must divide T
+        u = int(forced)
+        if u >= 1 and T % u == 0:
+            return u
     budget = int(0.9 * _VMEM_LIMIT)
     for u in (8, 5, 4, 2):
         if T % u == 0 and _est_vmem(u, B, H, rows_h * H, itemsize) <= budget:
