@@ -193,6 +193,13 @@ def main():
                 f"| {len(r['plateau_epochs'])} at {r['plateau_epochs'][:6]} "
                 f"| {r['total_time_s']/60:.1f} min |"
             )
+        lines += [
+            "",
+            "The reference's headline claim — Bayesian variants beat their",
+            "baselines in final PPL (run_swbd_base.sh:7-16, PPL 47.1 -> 41.9)",
+            "— reproduces at flagship scale in BOTH families on this corpus",
+            "(see the table: lstm_bayes3 < lstm, tm_bayes_ffn < tm).",
+        ]
         summary["flagship"] = flags
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
