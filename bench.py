@@ -102,29 +102,33 @@ def main():
         m = jnp.ones((L, 1), jnp.float32)
         score_one(params, d, d, m, hidden)[0].block_until_ready()
 
-    n_loop = 0
-    t0 = time.perf_counter()
-    for key, hyps in loop_items:
-        cached = None
-        for hyp in hyps:
-            x, y, _, _ = encode_hyp(hyp, w2i)
-            T = bucket_for(len(x), buckets)
-            data = np.zeros((T, 1), np.int32)
-            tgt = np.zeros((T, 1), np.int32)
-            mask = np.zeros((T, 1), np.float32)
-            data[: len(x), 0] = x
-            tgt[: len(y), 0] = y
-            mask[: len(x), 0] = 1.0
-            s, new_h = score_one(
-                params, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask), hidden
-            )
-            float(s)  # sync, like the reference's loss.item()
-            if cached is None:
-                cached = new_h
-            n_loop += 1
-        hidden = cached
-    loop_s = time.perf_counter() - t0
-    loop_hps = n_loop / loop_s
+    # best-of-2 passes: each per-hyp float() sync pays a tunnel round-trip
+    # whose latency varies run to run; min-of-N makes the DENOMINATOR its
+    # fastest (=conservative vs_baseline), like the batched side above
+    loop_hps = 0.0
+    for _ in range(2):
+        n_loop = 0
+        t0 = time.perf_counter()
+        for key, hyps in loop_items:
+            cached = None
+            for hyp in hyps:
+                x, y, _, _ = encode_hyp(hyp, w2i)
+                T = bucket_for(len(x), buckets)
+                data = np.zeros((T, 1), np.int32)
+                tgt = np.zeros((T, 1), np.int32)
+                mask = np.zeros((T, 1), np.float32)
+                data[: len(x), 0] = x
+                tgt[: len(y), 0] = y
+                mask[: len(x), 0] = 1.0
+                s, new_h = score_one(
+                    params, jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask), hidden
+                )
+                float(s)  # sync, like the reference's loss.item()
+                if cached is None:
+                    cached = new_h
+                n_loop += 1
+            hidden = cached
+        loop_hps = max(loop_hps, n_loop / (time.perf_counter() - t0))
 
     print(
         json.dumps(
