@@ -115,11 +115,17 @@ class BatchScorer:
             self._dp = mesh.shape["dp"]
             b3 = P(None, None, "dp")  # (n|U, T, B) batches
             h3 = P(None, "dp", None)  # (L, G, H) carries
-            pk = P("dp", None)  # per-shard gather plans
+            # per-shard gather plans: (dp, K) idx/seg + (dp,) n_real
+            pk = (P("dp", None), P("dp", None), P("dp"))
 
             def carry_sharded(params, params2, data, tgt, mask, ce_mask,
                               h1, h2, N, *packs):
-                def body(p, p2, d, t, m, cm, c1, c2, *pks):
+                cm_specs = () if ce_mask is None else (b3,)
+                cm_args = () if ce_mask is None else (ce_mask,)
+
+                def body(p, p2, d, t, m, c1, c2, *rest):
+                    cm = rest[0] if cm_args else None
+                    pks = rest[len(cm_args):]
                     return self._carry_chunk_impl(
                         p, p2, d, t, m, cm, c1, c2, N,
                         *(x[0] for x in pks)
@@ -127,26 +133,32 @@ class BatchScorer:
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), P(), b3, b3, b3, b3, h3, h3)
-                    + (pk,) * len(packs),
+                    in_specs=(P(), P(), b3, b3, b3, h3, h3)
+                    + cm_specs + pk[: len(packs)],
                     out_specs=(P(None, "dp"), h3, h3),
                     check_vma=False,
                 )
-                return f(params, params2, data, tgt, mask, ce_mask, h1, h2, *packs)
+                return f(params, params2, data, tgt, mask, h1, h2,
+                         *cm_args, *packs)
 
             def bucket_sharded(params, params2, data, tgt, mask, ce_mask, *packs):
-                def body(p, p2, d, t, m, cm, *pks):
+                cm_specs = () if ce_mask is None else (b3,)
+                cm_args = () if ce_mask is None else (ce_mask,)
+
+                def body(p, p2, d, t, m, *rest):
+                    cm = rest[0] if cm_args else None
+                    pks = rest[len(cm_args):]
                     return self._bucket_chunk_impl(
                         p, p2, d, t, m, cm, *(x[0] for x in pks)
                     )
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), P(), b3, b3, b3, b3) + (pk,) * len(packs),
+                    in_specs=(P(), P(), b3, b3, b3) + cm_specs + pk[: len(packs)],
                     out_specs=P(None, "dp"),
                     check_vma=False,
                 )
-                return f(params, params2, data, tgt, mask, ce_mask, *packs)
+                return f(params, params2, data, tgt, mask, *cm_args, *packs)
 
             self._carry_step = jax.jit(carry_sharded, static_argnums=(8,))
             self._bucket_step = jax.jit(bucket_sharded)
@@ -186,57 +198,111 @@ class BatchScorer:
     # -- padding-free decode: the vocabulary projection dominates rescoring
     # cost and the padded (T_bucket, B) layout scores ~3-4x more tokens than
     # exist. The host knows the masks, so it sends gather indices of the
-    # REAL positions (idx), their weights (w, zeros in the padded tail), and
-    # their per-hypothesis segment ids (seg); the kernel scores only those
-    # tokens and a segment-sum assembles per-hypothesis scores.
-    def _fused_scores_packed(self, params, flat_h, flat_tgt, idx, w, seg, n_seg: int):
+    # REAL CE positions (idx) and their per-hypothesis segment ids (seg);
+    # the kernel scores only those tokens and a segment-sum assembles
+    # per-hypothesis scores. Entries past ``n_real`` are padding (weight 0).
+    def _fused_scores_packed(self, params, flat_h, flat_tgt, idx, seg, n_real,
+                             n_seg: int):
         from ..ops.ce_pallas import fused_decode_ce
 
         hsel = jnp.take(flat_h, idx, axis=0)
         tsel = jnp.take(flat_tgt, idx, axis=0)
         ce = fused_decode_ce(hsel, params["embedding"], params["decoder_b"], tsel)
+        w = (jnp.arange(idx.shape[0]) < n_real).astype(ce.dtype)
         return jax.ops.segment_sum(ce * w, seg, num_segments=n_seg)
 
-    @staticmethod
-    def _pack_indices(ce_mask):
-        """Host-side gather plan for a (R, T, C) ce_mask (R chunk rows, T
-        time, C hypothesis columns; flat C-order matches the device-side
-        reshape). Returns (idx, w, seg) padded to a power-of-two bucket
-        (bounded jit cache) — padded entries carry weight 0 and segment 0."""
-        R, T, C = ce_mask.shape
-        r, t, c = np.nonzero(ce_mask)
-        n = len(r)
-        # bucket K (jit cache key): multiples of 8k, 512 floor
-        K = max(512, -(-n // 8192) * 8192) if n > 512 else 512
-        K = min(max(K, n), R * T * C)
-        idx = np.zeros((K,), np.int32)
-        wgt = np.zeros((K,), np.float32)
-        seg = np.zeros((K,), np.int32)
-        idx[:n] = (r * T + t) * C + c
-        wgt[:n] = ce_mask[r, t, c]
-        seg[:n] = r * C + c
-        return idx, wgt, seg
+    # -- vectorized host-side batch builder. The per-slot pad_batch loops +
+    # np.nonzero pack used to cost ~1/3 of a rescoring pass on a 1-core
+    # host; this builds the (R, T, C) batches AND the CE gather plan in a
+    # handful of numpy bulk ops, and ships compact dtypes (uint16 token ids
+    # when the vocab allows, uint8 step masks) — transfers ride a
+    # latency-bound tunnel, so bytes matter.
+    def _build_rows(self, rows, R: int, T: int, C: int, want_ce_mask: bool):
+        """rows: list of (r, c, in_ids, tgt_ids, n_ctx) hypothesis slots.
+        Returns (data, tgt, step_mask_u8, ce_mask_or_None, plan) where plan
+        is the fused-decode gather plan (idx, seg, n_real) — None when the
+        fused path is off and want_ce_mask instead yields a float32 mask
+        that EXCLUDES spliced-context positions from the score."""
+        n_h = len(rows)
+        id_dtype = np.uint16 if self.cfg.vocab_size <= 0xFFFF else np.int32
+        data = np.zeros((R * T * C,), id_dtype)
+        tgt = np.zeros((R * T * C,), id_dtype)
+        mask = np.zeros((R * T * C,), np.uint8)
+        if n_h == 0:
+            plan = None if want_ce_mask else self._pack_plan(
+                np.zeros((0,), np.int64), np.zeros((0,), np.int64), R * T * C)
+            return (data.reshape(R, T, C), tgt.reshape(R, T, C),
+                    mask.reshape(R, T, C),
+                    np.zeros((R, T, C), np.float32) if want_ce_mask else None,
+                    plan)
+        lens = np.fromiter((min(len(r[2]), T) for r in rows), np.int64, count=n_h)
+        tot = int(lens.sum())
+        flat_in = np.fromiter(
+            (v for r, L in zip(rows, lens) for v in r[2][:L]), np.int64, count=tot)
+        flat_tg = np.fromiter(
+            (v for r, L in zip(rows, lens) for v in r[3][:L]), np.int64, count=tot)
+        off = np.cumsum(lens) - lens
+        t_vec = np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+        r_vec = np.repeat(np.fromiter((r[0] for r in rows), np.int64, n_h), lens)
+        c_vec = np.repeat(np.fromiter((r[1] for r in rows), np.int64, n_h), lens)
+        dest = (r_vec * T + t_vec) * C + c_vec
+        data[dest] = flat_in
+        tgt[dest] = flat_tg
+        mask[dest] = 1
+        nc_vec = np.repeat(np.fromiter((r[4] for r in rows), np.int64, n_h), lens)
+        keep = t_vec >= nc_vec  # context conditions the model, not the score
+        ce_mask = None
+        plan = None
+        if want_ce_mask:
+            cm = np.zeros((R * T * C,), np.float32)
+            cm[dest[keep]] = 1.0
+            ce_mask = cm.reshape(R, T, C)
+        else:
+            plan = self._pack_plan(dest[keep], (r_vec * C + c_vec)[keep], R * T * C)
+        return (data.reshape(R, T, C), tgt.reshape(R, T, C),
+                mask.reshape(R, T, C), ce_mask, plan)
 
-    def _pack_args(self, ce_mask):
-        """Gather-plan args for the fused decode. Single device: (idx, w,
-        seg) over the flat global layout. Mesh: one pack PER dp SHARD over
-        its contiguous column block — flat indices and segment ids are
-        shard-local (the shard_map body sees only its slice) — stacked as
-        (dp, K) arrays, padded to the widest shard."""
+    @staticmethod
+    def _pack_plan(ce_dest, ce_seg, cap: int):
+        """Pad a gather plan to a 4096-multiple bucket (bounded jit cache);
+        entries past n_real are padding (segment 0, weight 0 on device)."""
+        n = len(ce_dest)
+        K = max(512, -(-n // 4096) * 4096) if n > 512 else 512
+        K = min(max(K, n), max(cap, 1))
+        idx = np.zeros((K,), np.int32)
+        seg = np.zeros((K,), np.int32)
+        idx[:n] = ce_dest
+        seg[:n] = ce_seg
+        return idx, seg, n
+
+    def _plan_args(self, data_shape, plan):
+        """Device args for the gather plan. Single device: (idx, seg,
+        n_real). Mesh: per-shard plans over each contiguous column block —
+        indices and segment ids are shard-local — stacked as (dp, K)."""
         if self.mesh is None:
-            i, w, s = self._pack_indices(ce_mask)
-            return jnp.asarray(i), jnp.asarray(w), jnp.asarray(s)
-        dp = self._dp
-        Cl = ce_mask.shape[2] // dp
-        packs = [self._pack_indices(ce_mask[:, :, s * Cl:(s + 1) * Cl])
-                 for s in range(dp)]
+            idx, seg, n = plan
+            return jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32)
+        # re-localize the global plan per dp shard
+        R, T, C = data_shape
+        Cl = C // self._dp
+        idx, seg, n = plan
+        idx, seg = idx[:n].astype(np.int64), seg[:n].astype(np.int64)
+        c = idx % C
+        shard = c // Cl
+        rt = idx // C
+        packs = []
+        for s in range(self._dp):
+            m = shard == s
+            packs.append(self._pack_plan(
+                rt[m] * Cl + (c[m] - s * Cl), (seg[m] // C) * Cl + (seg[m] % C - s * Cl),
+                R * T * Cl))
         K = max(p[0].shape[0] for p in packs)
-        idx = np.zeros((dp, K), np.int32)
-        wgt = np.zeros((dp, K), np.float32)
-        seg = np.zeros((dp, K), np.int32)
-        for s, (i_, w_, s_) in enumerate(packs):
-            idx[s, : len(i_)], wgt[s, : len(w_)], seg[s, : len(s_)] = i_, w_, s_
-        return jnp.asarray(idx), jnp.asarray(wgt), jnp.asarray(seg)
+        idx2 = np.zeros((self._dp, K), np.int32)
+        seg2 = np.zeros((self._dp, K), np.int32)
+        nn = np.zeros((self._dp,), np.int32)
+        for s, (i_, s_, n_) in enumerate(packs):
+            idx2[s, : len(i_)], seg2[s, : len(s_)], nn[s] = i_, s_, n_
+        return jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
 
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
@@ -352,31 +418,35 @@ class BatchScorer:
                 context_map[k] = last.get(label, "")
                 if hyps:
                     last[label] = (last.get(label, "") + " " + hyps[0]).strip()
+        # Encode every hypothesis ONCE (host encode is a visible slice of a
+        # rescoring pass; it used to run twice — once for the OOV tally and
+        # again inside the scoring path).
+        ctx = context_map or {}
+        enc_all = {
+            k: [
+                encode_hyp(h, word2idx, backward=self.rcfg.backward,
+                           context=ctx.get(k, ""),
+                           splice_len=self.rcfg.splice_len)
+                for h in hyps
+            ]
+            for k, hyps in nbest.items()
+        }
         # OOV tally over the encoded inputs (context + hypothesis words
         # mapped to <unk>), the dev scorer's oov_num (`…copy.py`:123-144,
         # printed as a total at :409). Exposed as ``self.oov_stats`` after
         # every score_nbest call; surfaced by `score`/`rescore` CLI output
         # and the pipeline JSON.
-        ctx = context_map or {}
-        per_utt = {
-            k: sum(
-                encode_hyp(h, word2idx, backward=self.rcfg.backward,
-                           context=ctx.get(k, ""),
-                           splice_len=self.rcfg.splice_len)[3]
-                for h in hyps
-            )
-            for k, hyps in nbest.items()
-        }
+        per_utt = {k: sum(e[3] for e in encs) for k, encs in enc_all.items()}
         self.oov_stats = {"total": sum(per_utt.values()), "per_utt": per_utt}
         if self.is_tm and self.rcfg.xl_mems:
             if context_map:
                 raise ValueError(
                     "xl_mems provides its own cross-utterance context; "
                     "context_map would be silently ignored")
-            return self._score_xl(nbest, word2idx, stream_fn)
+            return self._score_xl(nbest, word2idx, stream_fn, enc_all)
         if self.is_tm or not self.rcfg.carry_over:
-            return self._score_bucketed(nbest, word2idx, context_map)
-        return self._score_carry(nbest, word2idx, stream_fn, context_map)
+            return self._score_bucketed(nbest, word2idx, enc_all)
+        return self._score_carry(nbest, word2idx, stream_fn, enc_all)
 
     # -- Transformer-XL cross-utterance memory (RescoreConfig.xl_mems).
     # Utterances stay serial per chain (like LSTM carry-over); every
@@ -412,7 +482,7 @@ class BatchScorer:
         )
         return _masked_ce_sums(logits, tgt, ce_mask)
 
-    def _score_xl(self, nbest, word2idx, stream_fn=None):
+    def _score_xl(self, nbest, word2idx, stream_fn=None, enc_all=None):
         rc = self.rcfg
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)
@@ -420,7 +490,7 @@ class BatchScorer:
         last: Dict[str, list] = {}  # chain label -> previous first-hyp ids
         for k, hyps in nbest.items():
             label = stream_fn(k) if stream_fn else "_all"
-            enc = [encode_hyp(h, word2idx, backward=rc.backward) for h in hyps]
+            enc = enc_all[k]
             T = bucket_for(max(len(x) for x, _, _, _ in enc), buckets)
             data, tgt, mask, _ = pad_batch(
                 [x for x, *_ in enc], [y for _, y, *_ in enc], T, N
@@ -455,15 +525,21 @@ class BatchScorer:
         return self._assemble(nbest, scores)
 
     def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
-                           idx=None, w=None, seg=None):
+                           idx=None, seg=None, n_real=None):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
         device call (host round trips cost ~25 ms each through the tunnel).
-        ``idx/w/seg``: host-computed gather plan of the real token positions
-        (fused path only) so the vocab projection never scores padding."""
+        ``idx/seg/n_real``: host-computed gather plan of the real token
+        positions (fused path only) so the vocab projection never scores
+        padding. Inputs arrive in compact transfer dtypes (uint16/uint8)."""
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        mask = mask.astype(jnp.float32)
+        if ce_mask is not None:
+            ce_mask = ce_mask.astype(jnp.float32)
         if self.use_fused_ce:
             if self.is_tm:
                 def body(_, inp):
-                    d, t, m, cm = inp
+                    d, t, m = inp
                     h = self.model.apply(
                         {"params": params}, d, deterministic=True, return_hidden=True
                     )
@@ -474,18 +550,18 @@ class BatchScorer:
                 h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
 
                 def body(_, inp):
-                    d, t, m, cm = inp
+                    d, t, m = inp
                     h, _ = self.model.apply(
                         {"params": params}, d, h0, deterministic=True,
                         step_mask=m, return_hidden=True,
                     )
                     return None, h
 
-            _, hs = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
+            _, hs = jax.lax.scan(body, None, (data, tgt, mask))
             n, _, B = tgt.shape
             scores = self._fused_scores_packed(
                 params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, w, seg, n * B,
+                idx, seg, n_real, n * B,
             )
             return scores.reshape(n, B)
         if self.is_tm:
@@ -506,16 +582,11 @@ class BatchScorer:
         return scores  # (n, B)
 
     # -- global length-bucketed batching (transformer / no carry-over)
-    def _score_bucketed(self, nbest, word2idx, context_map=None):
+    def _score_bucketed(self, nbest, word2idx, enc_all):
         rc = self.rcfg
-        ctx = context_map or {}
         items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
         for key, hyps in nbest.items():
-            for i, hyp in enumerate(hyps):
-                x, y, nc, _ = encode_hyp(
-                    hyp, word2idx, backward=rc.backward,
-                    context=ctx.get(key, ""), splice_len=rc.splice_len,
-                )
+            for i, (x, y, nc, _) in enumerate(enc_all[key]):
                 items.append((key, i, x, y, nc))
         buckets = length_buckets(rc.max_hyp_len)
         by_bucket: Dict[int, list] = {}
@@ -524,42 +595,42 @@ class BatchScorer:
 
         scores: Dict[tuple, float] = {}
         p2 = self.params2 if self.interp else self.params
+        fused = self.use_fused_ce and rc.mc_samples == 0
         for T, group in sorted(by_bucket.items()):
             Bc = -(-rc.batch_size // self._dp) * self._dp  # divisible by dp
             n = (len(group) + Bc - 1) // Bc
-            data = np.zeros((n, T, Bc), np.int32)
-            tgt = np.zeros((n, T, Bc), np.int32)
-            mask = np.zeros((n, T, Bc), np.float32)
-            ce_mask = np.zeros((n, T, Bc), np.float32)
-            for j in range(n):
-                chunk = group[j * Bc : (j + 1) * Bc]
-                d, t, m, _ = pad_batch([c[2] for c in chunk], [c[3] for c in chunk], T, Bc)
-                cm = m.copy()
-                for c, it in enumerate(chunk):
-                    if it[4]:  # spliced context: exclude from the score only
-                        cm[: it[4], c] = 0.0
-                data[j], tgt[j], mask[j], ce_mask[j] = d, t, m, cm
+            rows = [
+                (i // Bc, i % Bc, it[2], it[3], it[4])
+                for i, it in enumerate(group)
+            ]
+            data, tgt, mask, ce_mask, plan = self._build_rows(
+                rows, n, T, Bc, want_ce_mask=not fused)
             if rc.mc_samples > 0:
                 outs = [
                     self._mc_step(
-                        self.params, jnp.asarray(data[j]), jnp.asarray(tgt[j]),
-                        jnp.asarray(mask[j]), jnp.asarray(ce_mask[j]), jax.random.key(j),
+                        self.params, jnp.asarray(data[j].astype(np.int32)),
+                        jnp.asarray(tgt[j].astype(np.int32)),
+                        jnp.asarray(mask[j].astype(np.float32)),
+                        jnp.asarray(ce_mask[j]), jax.random.key(j),
                     )
                     for j in range(n)
                 ]
                 out = np.stack([np.asarray(o) for o in outs])
             else:
-                extra = self._pack_args(ce_mask) if self.use_fused_ce else ()
+                if fused:
+                    extra = self._plan_args(data.shape, plan)
+                    cm = None
+                else:
+                    extra = ()
+                    cm = jnp.asarray(ce_mask)
                 out = np.asarray(
                     self._bucket_step(
                         self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
-                        jnp.asarray(mask), jnp.asarray(ce_mask), *extra,
+                        jnp.asarray(mask), cm, *extra,
                     )
                 )  # (n, Bc)
-            for j in range(n):
-                chunk = group[j * Bc : (j + 1) * Bc]
-                for c, (key, i, _, _, _) in enumerate(chunk):
-                    scores[(key, i)] = float(out[j, c])
+            for i, (key, hid, _, _, _) in enumerate(group):
+                scores[(key, hid)] = float(out[i // Bc, i % Bc])
 
         return self._assemble(nbest, scores)
 
@@ -571,10 +642,16 @@ class BatchScorer:
     # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
     # carried hidden exact at each hypothesis's true length.
     def _carry_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
-                          h1, h2, N: int, idx=None, w=None, seg=None):
+                          h1, h2, N: int, idx=None, seg=None, n_real=None):
         """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
         parallel chains of N hypotheses; h1/h2: (layers, G, H) carried;
-        idx/w/seg: real-token gather plan (fused decode path)."""
+        idx/seg/n_real: real-token gather plan (fused decode path). Inputs
+        arrive in compact transfer dtypes (uint16/uint8)."""
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        mask = mask.astype(jnp.float32)
+        if ce_mask is not None:
+            ce_mask = ce_mask.astype(jnp.float32)
         L = h1[0].shape[0]
         G = h1[0].shape[1]
         H = h1[0].shape[2]
@@ -603,7 +680,7 @@ class BatchScorer:
             # exist. Hidden stack: (U, T, G*N, H) bf16.
             def per_utt_h(carry, inp):
                 c1, c2 = carry
-                d_t, t_t, m_t, cm_t = inp
+                d_t, t_t, m_t = inp
                 hseq, nh1 = self.model.apply(
                     {"params": params}, d_t, bcast(c1), deterministic=True,
                     step_mask=m_t, return_hidden=True,
@@ -611,12 +688,12 @@ class BatchScorer:
                 return (first_hyp(nh1), c2), hseq
 
             (h1, h2), hs = jax.lax.scan(
-                per_utt_h, (h1, h2), (data, tgt, mask, ce_mask)
+                per_utt_h, (h1, h2), (data, tgt, mask)
             )
             U, _, GN = tgt.shape
             scores = self._fused_scores_packed(
                 params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, w, seg, U * GN,
+                idx, seg, n_real, U * GN,
             ).reshape(U, GN)
             return scores, h1, h2
 
@@ -633,9 +710,8 @@ class BatchScorer:
         )
         return scores, h1, h2  # scores: (U, G*N)
 
-    def _score_carry(self, nbest, word2idx, stream_fn=None, context_map=None):
+    def _score_carry(self, nbest, word2idx, stream_fn=None, enc_all=None):
         rc = self.rcfg
-        ctx = context_map or {}
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)
         keys = list(nbest.keys())
@@ -653,14 +729,7 @@ class BatchScorer:
         G = len(stream_keys)
         U_total = max(len(s) for s in stream_keys)
 
-        enc = {
-            k: [
-                encode_hyp(h, word2idx, backward=rc.backward,
-                           context=ctx.get(k, ""), splice_len=rc.splice_len)
-                for h in nbest[k]
-            ]
-            for k in keys
-        }
+        enc = enc_all
         cdtype = jnp.dtype(self.cfg.compute_dtype)
         carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
         carry2 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
@@ -680,32 +749,30 @@ class BatchScorer:
                 default=1,
             )
             T = bucket_for(chunk_max, buckets)
-            data = np.zeros((U, T, G * N), np.int32)
-            tgt = np.zeros((U, T, G * N), np.int32)
-            mask = np.zeros((U, T, G * N), np.float32)
-            ce_mask = np.zeros((U, T, G * N), np.float32)
+            rows = []
             slot_key = {}
             for g, skeys in enumerate(stream_keys):
                 for u in range(U):
                     if s + u >= len(skeys):
                         continue
                     k = skeys[s + u]
-                    d, t, m, _ = pad_batch(
-                        [x for x, *_ in enc[k]], [y for _, y, *_ in enc[k]], T, N
+                    rows.extend(
+                        (u, g * N + c, x, y, nc)
+                        for c, (x, y, nc, _) in enumerate(enc[k])
                     )
-                    cm = m.copy()
-                    for c, (_, _, nc, _) in enumerate(enc[k]):
-                        if nc:  # context conditions the model, not the score
-                            cm[:nc, c] = 0.0
-                    col = slice(g * N, (g + 1) * N)
-                    data[u, :, col], tgt[u, :, col] = d, t
-                    mask[u, :, col], ce_mask[u, :, col] = m, cm
                     slot_key[(u, g)] = k
-            extra = self._pack_args(ce_mask) if self.use_fused_ce else ()
+            data, tgt, mask, ce_mask, plan = self._build_rows(
+                rows, U, T, G * N, want_ce_mask=not self.use_fused_ce)
+            if self.use_fused_ce:
+                extra = self._plan_args(data.shape, plan)
+                cm = None
+            else:
+                extra = ()
+                cm = jnp.asarray(ce_mask)
             out, carry1, carry2 = self._carry_step(
                 self.params, self.params2 if self.interp else self.params,
                 jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                jnp.asarray(ce_mask), carry1, carry2, N, *extra,
+                cm, carry1, carry2, N, *extra,
             )
             out = np.asarray(out)  # (U, G*N)
             for (u, g), k in slot_key.items():
