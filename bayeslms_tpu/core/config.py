@@ -161,9 +161,12 @@ class RescoreConfig:
     max_hyp_len: int = 128
     batch_size: int = 64
     # Utterances per device call in carry-over mode: the serial utterance
-    # chain runs as an on-device lax.scan so host round-trip latency is paid
-    # once per chunk, not once per utterance.
-    carry_chunk_utts: int = 50
+    # chain runs as an on-device lax.scan per chunk, chunks dispatch
+    # asynchronously (one host sync for the whole run), and the next
+    # chunk's encode/build overlaps the previous chunk's device compute.
+    # Smaller chunks pipeline better and adapt the time bucket to the
+    # window, at the cost of one compiled shape per distinct (U, T).
+    carry_chunk_utts: int = 5
     # WER sweep over LM-scale weights (local/score_asclite.sh:10-11).
     min_lmwt: int = 7
     max_lmwt: int = 15

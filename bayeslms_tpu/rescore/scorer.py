@@ -418,35 +418,44 @@ class BatchScorer:
                 context_map[k] = last.get(label, "")
                 if hyps:
                     last[label] = (last.get(label, "") + " " + hyps[0]).strip()
-        # Encode every hypothesis ONCE (host encode is a visible slice of a
-        # rescoring pass; it used to run twice — once for the OOV tally and
-        # again inside the scoring path).
+        # Encode every hypothesis ONCE, lazily: the carry path touches the
+        # cache chunk-by-chunk, so host encode/build overlaps the previous
+        # chunk's asynchronously dispatched device work. (It used to encode
+        # everything eagerly, twice — OOV tally + scoring.)
         ctx = context_map or {}
-        enc_all = {
-            k: [
-                encode_hyp(h, word2idx, backward=self.rcfg.backward,
-                           context=ctx.get(k, ""),
-                           splice_len=self.rcfg.splice_len)
-                for h in hyps
+        rc = self.rcfg
+
+        def _enc_utt(k):
+            return [
+                encode_hyp(h, word2idx, backward=rc.backward,
+                           context=ctx.get(k, ""), splice_len=rc.splice_len)
+                for h in nbest[k]
             ]
-            for k, hyps in nbest.items()
-        }
-        # OOV tally over the encoded inputs (context + hypothesis words
-        # mapped to <unk>), the dev scorer's oov_num (`…copy.py`:123-144,
-        # printed as a total at :409). Exposed as ``self.oov_stats`` after
-        # every score_nbest call; surfaced by `score`/`rescore` CLI output
-        # and the pipeline JSON.
-        per_utt = {k: sum(e[3] for e in encs) for k, encs in enc_all.items()}
-        self.oov_stats = {"total": sum(per_utt.values()), "per_utt": per_utt}
+
+        class _Lazy(dict):
+            def __missing__(self, k):
+                v = self[k] = _enc_utt(k)
+                return v
+
+        enc_all = _Lazy()
         if self.is_tm and self.rcfg.xl_mems:
             if context_map:
                 raise ValueError(
                     "xl_mems provides its own cross-utterance context; "
                     "context_map would be silently ignored")
-            return self._score_xl(nbest, word2idx, stream_fn, enc_all)
-        if self.is_tm or not self.rcfg.carry_over:
-            return self._score_bucketed(nbest, word2idx, enc_all)
-        return self._score_carry(nbest, word2idx, stream_fn, enc_all)
+            result = self._score_xl(nbest, word2idx, stream_fn, enc_all)
+        elif self.is_tm or not self.rcfg.carry_over:
+            result = self._score_bucketed(nbest, word2idx, enc_all)
+        else:
+            result = self._score_carry(nbest, word2idx, stream_fn, enc_all)
+        # OOV tally over the encoded inputs (context + hypothesis words
+        # mapped to <unk>), the dev scorer's oov_num (`…copy.py`:123-144,
+        # printed as a total at :409). Exposed as ``self.oov_stats`` after
+        # every score_nbest call; surfaced by `score`/`rescore` CLI output
+        # and the pipeline JSON.
+        per_utt = {k: sum(e[3] for e in enc_all[k]) for k in nbest}
+        self.oov_stats = {"total": sum(per_utt.values()), "per_utt": per_utt}
+        return result
 
     # -- Transformer-XL cross-utterance memory (RescoreConfig.xl_mems).
     # Utterances stay serial per chain (like LSTM carry-over); every
@@ -734,9 +743,10 @@ class BatchScorer:
         carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
         carry2 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
         scores: Dict[tuple, float] = {}
+        pending = []  # (device scores handle, slot_key) per chunk; ONE sync
         U_CHUNK = min(rc.carry_chunk_utts, U_total)
         for s in range(0, U_total, U_CHUNK):
-            U = U_CHUNK  # fixed shape; ragged tail padded with zero masks
+            U = min(U_CHUNK, U_total - s)  # exact tail (jit key per size)
             # Per-chunk time bucket: T covers only the utterances in THIS
             # chunk window, so one long utterance inflates padding for its
             # own chunk only, not the whole run (geometric buckets keep the
@@ -774,12 +784,17 @@ class BatchScorer:
                 jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
                 cm, carry1, carry2, N, *extra,
             )
-            out = np.asarray(out)  # (U, G*N)
+            pending.append((out, slot_key))
+            # short utterance slots in the ragged tail have all-zero masks:
+            # hidden frozen, so each chain's carried state stays exact
+            # across chunks. The device handle is NOT synced here — the
+            # next chunk's encode/build runs while this one computes.
+
+        for out, slot_key in pending:
+            out = np.asarray(out)  # (U, G*N); blocks on first chunk only
             for (u, g), k in slot_key.items():
                 for i in range(len(nbest[k])):
                     scores[(k, i)] = float(out[u, g * N + i])
-            # padded utterance slots have all-zero masks: hidden frozen, so
-            # each chain's carried state stays exact across chunks.
 
         return self._assemble(nbest, scores)
 
