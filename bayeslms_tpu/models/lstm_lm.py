@@ -62,7 +62,8 @@ class StandardRNNCore(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         cfg = self.cfg
         gates = {"LSTM": 4, "GRU": 3, "RNN_TANH": 1, "RNN_RELU": 1}[cfg.model]
         h0, c0 = hidden
@@ -72,15 +73,18 @@ class StandardRNNCore(nn.Module):
             in_size = cfg.emsize if l == 0 else cfg.nhid
             p = _layer_params(self, f"l{l}", gates, in_size, cfg.nhid)
             if cfg.model == "LSTM":
-                out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic)
+                out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic,
+                                         reset_mask=reset_mask, reset_src=reset_src)
                 cs.append(cT)
             elif cfg.model == "GRU":
-                out, hT = gru_layer(out, h0[l], p, step_mask=step_mask)
+                out, hT = gru_layer(out, h0[l], p, step_mask=step_mask,
+                                    reset_mask=reset_mask, reset_src=reset_src)
                 cs.append(jnp.zeros_like(hT))
             else:
                 out, hT = rnn_layer(
                     out, h0[l], p, "tanh" if cfg.model == "RNN_TANH" else "relu",
                     step_mask=step_mask,
+                    reset_mask=reset_mask, reset_src=reset_src,
                 )
                 cs.append(jnp.zeros_like(hT))
             hs.append(hT)
@@ -109,7 +113,8 @@ class BayesLSTMCore(nn.Module):
     both_layers: bool = True
 
     @nn.compact
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         cfg = self.cfg
         H, in1, in2 = cfg.nhid, cfg.emsize, cfg.nhid
         pos = cfg.l_bayes_pos
@@ -193,7 +198,8 @@ class BayesLSTMCore(nn.Module):
         hs, cs = [], []
         for l in range(2):
             p = LSTMParams(eff[l]["w_ih"], eff[l]["w_hh"], eff[l]["b_ih"], eff[l]["b_hh"])
-            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic)
+            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic,
+                                     reset_mask=reset_mask, reset_src=reset_src)
             hs.append(hT)
             cs.append(cT)
 
@@ -830,7 +836,8 @@ class RecurrentLM(nn.Module):
             raise ValueError(cfg.uncertainty)
 
     def __call__(self, tokens, hidden: Hidden, deterministic: bool = True,
-                 step_mask=None, return_hidden: bool = False):
+                 step_mask=None, return_hidden: bool = False,
+                 reset_mask=None, reset_src=None):
         """tokens: (T, B) int32 -> logits (T, B, V), new hidden.
 
         ``step_mask`` (T, B) freezes recurrent state on padded steps so the
@@ -840,12 +847,24 @@ class RecurrentLM(nn.Module):
         (T, B, H) instead of logits — the fused decode+CE kernel
         (ops/ce_pallas.py) consumes these so the (T, B, V) logits never
         materialize.
+
+        ``reset_mask`` (T, B) + ``reset_src`` (B,): packed-time carry-over
+        (see ops/lstm.py lstm_layer) — supported by the standard and
+        Bayesian cores (the ones the rescorer's packed layout targets).
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         emb = jnp.take(self.embedding, tokens, axis=0).astype(dtype)
         emb = self.drop(emb, deterministic=deterministic)
-        out, hidden = self.core(emb, hidden, deterministic, step_mask)
+        if reset_mask is not None:
+            if not isinstance(self.core, (StandardRNNCore, BayesLSTMCore)):
+                raise ValueError(
+                    "reset_mask (packed carry-over) requires a standard or "
+                    f"Bayesian recurrent core, got {type(self.core).__name__}")
+            out, hidden = self.core(emb, hidden, deterministic, step_mask,
+                                    reset_mask=reset_mask, reset_src=reset_src)
+        else:
+            out, hidden = self.core(emb, hidden, deterministic, step_mask)
         out = self.drop(out, deterministic=deterministic)
         if return_hidden:
             return out, hidden

@@ -56,6 +56,14 @@ def lstm_cell_step(h, c, xg_t, w_hh_t, b_hh):
     return h, c
 
 
+def _apply_reset(state, r_t, reset_src):
+    """At packed utterance boundaries, replace each column's state with its
+    reset source column's state (the chain's first hypothesis, whose frozen
+    state is the exact carry-over state at its true length)."""
+    r = r_t[:, None].astype(state.dtype)
+    return (1.0 - r) * state + r * jnp.take(state, reset_src, axis=0)
+
+
 def lstm_layer(
     x: jax.Array,
     h0: jax.Array,
@@ -64,6 +72,8 @@ def lstm_layer(
     unroll: int = 8,
     step_mask: Optional[jax.Array] = None,
     allow_pallas: bool = False,
+    reset_mask: Optional[jax.Array] = None,
+    reset_src: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Single-layer LSTM over a (T, B, in) sequence -> (T, B, H), hT, cT.
 
@@ -72,6 +82,12 @@ def lstm_layer(
     state at each stream's true length. This is what lets the batched N-best
     rescorer keep exact per-hypothesis hidden carry-over over padded,
     length-bucketed batches.
+
+    ``reset_mask`` (T, B) + ``reset_src`` (B,) implement the packed-time
+    carry-over layout: BEFORE processing step t, columns with reset 1 take
+    the state of column ``reset_src[b]`` (their chain's first hypothesis).
+    This lets a whole serial utterance chain run as ONE time-packed sequence
+    with per-utterance exact lengths instead of per-utterance padded slots.
 
     ``allow_pallas`` routes forward-only calls (eval/scoring) to the fused
     Pallas recurrence with VMEM-resident W_hh when available — default ON
@@ -89,14 +105,17 @@ def lstm_layer(
             p.w_hh.shape[1], x.dtype, batch=x.shape[1]
         ):
             return lstm_layer_pallas(
-                x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask
+                x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, step_mask,
+                reset_mask=reset_mask, reset_src=reset_src,
             )
     elif pallas_allowed():
         # Grad path: the custom-VJP fused recurrence keeps W_hh and the
         # (dh, dc) carries VMEM-resident through a reverse-time kernel.
         from .lstm_pallas import lstm_layer_pallas_train, pallas_lstm_ok
 
-        if os.environ.get("BAYESLM_PALLAS_LSTM_TRAIN", "1") != "0" and pallas_lstm_ok(
+        if reset_mask is None and os.environ.get(
+            "BAYESLM_PALLAS_LSTM_TRAIN", "1"
+        ) != "0" and pallas_lstm_ok(
             p.w_hh.shape[1], x.dtype, batch=x.shape[1], train=True
         ):
             return lstm_layer_pallas_train(
@@ -113,18 +132,29 @@ def lstm_layer(
 
     def step(carry, inp):
         h, c = carry
+        xg_t = inp[0]
+        i = 1
+        if step_mask is not None:
+            m_t = inp[i]
+            i += 1
+        if reset_mask is not None:
+            r_t = inp[i]
+            h = _apply_reset(h, r_t, reset_src)
+            c = _apply_reset(c, r_t, reset_src)
         if step_mask is None:
-            xg_t = inp
             h, c = lstm_cell_step(h, c, xg_t, w_hh_t, b_hh)
         else:
-            xg_t, m_t = inp
             hn, cn = lstm_cell_step(h, c, xg_t, w_hh_t, b_hh)
             keep = m_t[:, None].astype(h.dtype)
             h = keep * hn + (1.0 - keep) * h
             c = keep * cn + (1.0 - keep) * c
         return (h, c), h
 
-    xs = xg if step_mask is None else (xg, step_mask)
+    xs = (xg,)
+    if step_mask is not None:
+        xs = xs + (step_mask,)
+    if reset_mask is not None:
+        xs = xs + (reset_mask,)
     (hT, cT), ys = lax.scan(step, (h0.astype(dtype), c0.astype(dtype)), xs, unroll=unroll)
     return ys, hT, cT
 
@@ -134,7 +164,8 @@ def _masked(step_mask, h_old, h_new, m_t):
     return keep * h_new + (1.0 - keep) * h_old
 
 
-def gru_layer(x, h0, p: LSTMParams, unroll: int = 8, step_mask: Optional[jax.Array] = None):
+def gru_layer(x, h0, p: LSTMParams, unroll: int = 8, step_mask: Optional[jax.Array] = None,
+              reset_mask: Optional[jax.Array] = None, reset_src: Optional[jax.Array] = None):
     """Single-layer GRU (torch gate order r, z, n) -> (T, B, H), hT."""
     dtype = x.dtype
     w_ih_t = p.w_ih.T.astype(dtype)
@@ -146,7 +177,9 @@ def gru_layer(x, h0, p: LSTMParams, unroll: int = 8, step_mask: Optional[jax.Arr
     xg = (x.reshape(T * B, -1) @ w_ih_t + b_ih).reshape(T, B, -1)
 
     def step(h, inp):
-        xg_t, m_t = inp
+        xg_t, m_t = inp[0], inp[1]
+        if reset_mask is not None:
+            h = _apply_reset(h, inp[2], reset_src)
         hg = h @ w_hh_t + b_hh
         xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hg, 3, axis=-1)
@@ -158,13 +191,15 @@ def gru_layer(x, h0, p: LSTMParams, unroll: int = 8, step_mask: Optional[jax.Arr
         return h, h
 
     ms = step_mask if step_mask is not None else jnp.ones((T, B), dtype)
-    hT, ys = lax.scan(step, h0.astype(dtype), (xg, ms), unroll=unroll)
+    xs = (xg, ms) if reset_mask is None else (xg, ms, reset_mask)
+    hT, ys = lax.scan(step, h0.astype(dtype), xs, unroll=unroll)
     return ys, hT
 
 
 def rnn_layer(
     x, h0, p: LSTMParams, nonlinearity: str = "tanh", unroll: int = 8,
     step_mask: Optional[jax.Array] = None,
+    reset_mask: Optional[jax.Array] = None, reset_src: Optional[jax.Array] = None,
 ):
     """Vanilla RNN layer (tanh or relu)."""
     dtype = x.dtype
@@ -176,12 +211,15 @@ def rnn_layer(
     ms = step_mask if step_mask is not None else jnp.ones((T, B), dtype)
 
     def step(h, inp):
-        xg_t, m_t = inp
+        xg_t, m_t = inp[0], inp[1]
+        if reset_mask is not None:
+            h = _apply_reset(h, inp[2], reset_src)
         hn_ = act(xg_t + h @ w_hh_t + p.b_hh.astype(dtype))
         h = _masked(step_mask, h, hn_, m_t) if step_mask is not None else hn_
         return h, h
 
-    hT, ys = lax.scan(step, h0.astype(dtype), (xg, ms), unroll=unroll)
+    xs = (xg, ms) if reset_mask is None else (xg, ms, reset_mask)
+    hT, ys = lax.scan(step, h0.astype(dtype), xs, unroll=unroll)
     return ys, hT
 
 

@@ -132,6 +132,85 @@ def _kernel(xg_ref, whh_ref, bhh_ref, mask_ref, h0_ref, c0_ref,
         cT_ref[:] = c.astype(dtype)
 
 
+def _kernel_reset(xg_ref, whh_ref, bhh_ref, mask_ref, rst_ref, pmat_ref,
+                  h0_ref, c0_ref, ys_ref, hT_ref, cT_ref, h_scr, c_scr,
+                  *, TB: int, U: int, masked: bool):
+    """Forward kernel with packed-time carry-over: before step t, columns
+    with reset 1 take the state of their chain's source column via the
+    0/1 selection matrix P (one (B, B) x (B, H) MXU matmul — exact, each
+    output row has a single 1-weighted term)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    dtype = ys_ref.dtype
+    bhh = bhh_ref[0].astype(jnp.float32)
+    for u in range(U):
+        r = rst_ref[u][:, :1].astype(jnp.float32)
+        hb = jnp.dot(pmat_ref[:], h.astype(dtype),
+                     preferred_element_type=jnp.float32)
+        cb = jnp.dot(pmat_ref[:], c.astype(dtype),
+                     preferred_element_type=jnp.float32)
+        h = (1.0 - r) * h + r * hb
+        c = (1.0 - r) * c + r * cb
+        keep = mask_ref[u][:, :1].astype(jnp.float32) if masked else None
+        h, c = _cell_step(xg_ref[u], h, c, keep, whh_ref, bhh, dtype)
+        ys_ref[u] = h.astype(dtype)
+    h_scr[:] = h
+    c_scr[:] = c
+
+    @pl.when(t == TB - 1)
+    def _():
+        hT_ref[:] = h.astype(dtype)
+        cT_ref[:] = c.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("masked",))
+def _run_reset(xg, w_hh_t, b_hh, mask, rst, pmat, h0, c0, masked: bool):
+    T, B, G = xg.shape
+    H = G // 4
+    dtype = xg.dtype
+    U = _unroll(T, B, H, _ROWS_FWD, jnp.dtype(dtype).itemsize)
+    TB = T // U
+    kernel = functools.partial(_kernel_reset, TB=TB, U=U, masked=masked)
+    ys, hT, cT = pl.pallas_call(
+        kernel,
+        grid=(TB,),
+        in_specs=[
+            pl.BlockSpec((U, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_INTERPRET,
+    )(xg, w_hh_t, b_hh, mask, rst, pmat, h0, c0)
+    return ys, hT, cT
+
+
 @functools.partial(jax.jit, static_argnames=("masked",))
 def _run(xg, w_hh_t, b_hh, mask, h0, c0, masked: bool):
     T, B, G = xg.shape
@@ -181,8 +260,14 @@ def lstm_layer_pallas(
     b_ih: jax.Array,
     b_hh: jax.Array,
     step_mask: Optional[jax.Array] = None,
+    reset_mask: Optional[jax.Array] = None,
+    reset_src: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(T, B, in) -> (T, B, H), hT, cT. Forward-only fused recurrence."""
+    """(T, B, in) -> (T, B, H), hT, cT. Forward-only fused recurrence.
+
+    ``reset_mask`` (T, B) + ``reset_src`` (B,): packed-time carry-over — at
+    reset steps each column's (h, c) is replaced by its source column's
+    state before the cell step (see ops/lstm.py lstm_layer)."""
     dtype = x.dtype
     T, B, _ = x.shape
     H = w_hh.shape[1]
@@ -193,6 +278,14 @@ def lstm_layer_pallas(
     # per-step block (1, B, 8) has legal trailing dims.
     m2 = step_mask if step_mask is not None else jnp.ones((T, B))
     mask = jnp.broadcast_to(m2.astype(dtype)[:, :, None], (T, B, 8))
+    if reset_mask is not None:
+        rst = jnp.broadcast_to(reset_mask.astype(dtype)[:, :, None], (T, B, 8))
+        pmat = (reset_src[:, None] == jnp.arange(B)[None, :]).astype(dtype)
+        return _run_reset(
+            xg, w_hh.T.astype(dtype), b_hh.astype(dtype).reshape(1, 4 * H),
+            mask, rst, pmat, h0.astype(dtype), c0.astype(dtype),
+            step_mask is not None,
+        )
     return _run(
         xg,
         w_hh.T.astype(dtype),

@@ -166,6 +166,8 @@ class BatchScorer:
             self._dp = 1
             self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
             self._bucket_step = jax.jit(self._bucket_chunk_impl)
+        self._packed_step = jax.jit(
+            self._packed_carry_impl, static_argnums=(6, 7, 8))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -188,6 +190,27 @@ class BatchScorer:
             self._xl_mem_step = jax.jit(self._xl_mem_impl)
             self._xl_score_step = jax.jit(self._xl_score_impl)
             self._tm_step = jax.jit(self._tm_impl)
+
+    def _packed_allowed(self) -> bool:
+        """Packed-time carry-over: each chain's utterances lie consecutively
+        along ONE time axis with per-utterance exact (capped) lengths and
+        in-kernel state resets at utterance starts — ~2-3x fewer sequential
+        recurrence steps than per-utterance padded slots. Standard +
+        Bayesian recurrent cores only (they thread reset_mask); exotic
+        cores / mesh / XL / MC / interp fall back to the slotted layout."""
+        cfg, rcfg = self.cfg, self.rcfg
+        return (
+            rcfg.carry_over
+            and not cfg.is_transformer
+            and self.use_fused_ce
+            and self.mesh is None
+            and rcfg.mc_samples == 0
+            and not rcfg.xl_mems
+            and self.interp == 0
+            and (cfg.uncertainty == "none"
+                 or (cfg.uncertainty == "Bayesian" and cfg.model == "LSTM"))
+            and os.environ.get("BAYESLM_PACKED_CARRY", "1") != "0"
+        )
 
     def _fused_scores(self, params, h, tgt, mask):
         from ..ops.ce_pallas import fused_decode_ce
@@ -217,12 +240,18 @@ class BatchScorer:
     # handful of numpy bulk ops, and ships compact dtypes (uint16 token ids
     # when the vocab allows, uint8 step masks) — transfers ride a
     # latency-bound tunnel, so bytes matter.
-    def _build_rows(self, rows, R: int, T: int, C: int, want_ce_mask: bool):
+    def _build_rows(self, rows, R: int, T: int, C: int, want_ce_mask: bool,
+                    t_offs=None, seg_ids=None):
         """rows: list of (r, c, in_ids, tgt_ids, n_ctx) hypothesis slots.
         Returns (data, tgt, step_mask_u8, ce_mask_or_None, plan) where plan
         is the fused-decode gather plan (idx, seg, n_real) — None when the
         fused path is off and want_ce_mask instead yields a float32 mask
-        that EXCLUDES spliced-context positions from the score."""
+        that EXCLUDES spliced-context positions from the score.
+
+        ``t_offs`` (per-row time offset) places each hypothesis at an
+        arbitrary start step inside its (r, c) column — the packed-time
+        carry layout. ``seg_ids`` overrides the default (r*C + c) score
+        segment ids (needed when a column holds several hypotheses)."""
         n_h = len(rows)
         id_dtype = np.uint16 if self.cfg.vocab_size <= 0xFFFF else np.int32
         data = np.zeros((R * T * C,), id_dtype)
@@ -243,6 +272,8 @@ class BatchScorer:
             (v for r, L in zip(rows, lens) for v in r[3][:L]), np.int64, count=tot)
         off = np.cumsum(lens) - lens
         t_vec = np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+        if t_offs is not None:
+            t_vec = t_vec + np.repeat(np.asarray(t_offs, np.int64), lens)
         r_vec = np.repeat(np.fromiter((r[0] for r in rows), np.int64, n_h), lens)
         c_vec = np.repeat(np.fromiter((r[1] for r in rows), np.int64, n_h), lens)
         dest = (r_vec * T + t_vec) * C + c_vec
@@ -258,7 +289,11 @@ class BatchScorer:
             cm[dest[keep]] = 1.0
             ce_mask = cm.reshape(R, T, C)
         else:
-            plan = self._pack_plan(dest[keep], (r_vec * C + c_vec)[keep], R * T * C)
+            seg_vec = (
+                (r_vec * C + c_vec) if seg_ids is None
+                else np.repeat(np.asarray(seg_ids, np.int64), lens)
+            )
+            plan = self._pack_plan(dest[keep], seg_vec[keep], R * T * C)
         return (data.reshape(R, T, C), tgt.reshape(R, T, C),
                 mask.reshape(R, T, C), ce_mask, plan)
 
@@ -719,7 +754,117 @@ class BatchScorer:
         )
         return scores, h1, h2  # scores: (U, G*N)
 
+    # -- packed-time carry-over (see _packed_allowed). Layout per chunk:
+    # ONE (T_pack, G*N) sequence; chain g's utterances occupy consecutive
+    # time segments of exact (max_hyp_len-capped) length; a reset event at
+    # each segment start replaces every column's recurrent state with its
+    # chain's column-0 state (= the previous utterance's FIRST hypothesis at
+    # its true length, held frozen by the step mask — exactly the
+    # reference's carry-over, :261-274). ~2-3x fewer sequential recurrence
+    # steps than per-utterance padded slots, and one kernel launch per
+    # layer per chunk instead of one per utterance.
+    def _packed_carry_impl(self, params, data, tgt, mask, reset, h1,
+                           G: int, N: int, n_seg: int, idx, seg, n_real):
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        mask = mask.astype(jnp.float32)
+        reset = reset.astype(jnp.float32)
+        L = h1[0].shape[0]
+        H = h1[0].shape[2]
+        B = data.shape[1]
+
+        def bcast(c):
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[:, :, None, :], (L, G, N, H)).reshape(
+                    L, G * N, H
+                ),
+                c,
+            )
+
+        def first_hyp(nh):
+            return jax.tree.map(lambda a: a.reshape(L, G, N, H)[:, :, 0, :], nh)
+
+        reset_src = (jnp.arange(B, dtype=jnp.int32) // N) * N
+        hseq, nh = self.model.apply(
+            {"params": params}, data, bcast(h1), deterministic=True,
+            step_mask=mask, reset_mask=reset, reset_src=reset_src,
+            return_hidden=True,
+        )
+        scores = self._fused_scores_packed(
+            params, hseq.reshape(-1, H), tgt.reshape(-1),
+            idx, seg, n_real, n_seg,
+        )
+        return scores, first_hyp(nh)
+
+    def _score_carry_packed(self, nbest, word2idx, stream_fn=None, enc_all=None):
+        rc = self.rcfg
+        N = max((len(h) for h in nbest.values()), default=1)
+        streams: "OrderedDict[str, list]" = OrderedDict()
+        for k in nbest:
+            label = stream_fn(k) if stream_fn else "_all"
+            streams.setdefault(label, []).append(k)
+        stream_keys = list(streams.values())
+        G = len(stream_keys)
+        U_total = max(len(s) for s in stream_keys)
+        cap = rc.max_hyp_len
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        carry = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
+        scores: Dict[tuple, float] = {}
+        pending = []
+        U_CHUNK = min(rc.carry_chunk_utts, U_total)
+        for s in range(0, U_total, U_CHUNK):
+            U = min(U_CHUNK, U_total - s)
+            # pass 1: per-chain segment offsets (exact capped lengths)
+            segs = {}  # (g, u) -> (key, t_off, segT)
+            t_pack = 1
+            for g, skeys in enumerate(stream_keys):
+                off = 0
+                for u in range(U):
+                    if s + u >= len(skeys):
+                        continue
+                    k = skeys[s + u]
+                    segT = min(
+                        max((len(x) for x, *_ in enc_all[k]), default=1), cap)
+                    segs[(g, u)] = (k, off, segT)
+                    off += segT
+                t_pack = max(t_pack, off)
+            T = -(-t_pack // 64) * 64  # coarse bucket: bounded compiles
+            # pass 2: rows + reset events
+            rows, t_offs, seg_ids = [], [], []
+            reset_np = np.zeros((T, G * N), np.uint8)
+            slot_key = {}
+            for (g, u), (k, off, segT) in segs.items():
+                if off > 0:
+                    reset_np[off, g * N : (g + 1) * N] = 1
+                for c, (x, y, nc, _) in enumerate(enc_all[k]):
+                    if len(x) > segT:
+                        x, y = x[:segT], y[:segT]
+                    rows.append((0, g * N + c, x, y, nc))
+                    t_offs.append(off)
+                    seg_ids.append((u * G + g) * N + c)
+                slot_key[(u, g)] = k
+            data, tgt, mask, _, plan = self._build_rows(
+                rows, 1, T, G * N, want_ce_mask=False,
+                t_offs=t_offs, seg_ids=seg_ids)
+            idx, seg, n = plan
+            out, carry = self._packed_step(
+                self.params, jnp.asarray(data[0]), jnp.asarray(tgt[0]),
+                jnp.asarray(mask[0]), jnp.asarray(reset_np), carry,
+                G, N, U * G * N,
+                jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32),
+            )
+            pending.append((out, slot_key, U))
+
+        for out, slot_key, U in pending:
+            o = np.asarray(out).reshape(U, G, N)
+            for (u, g), k in slot_key.items():
+                for i in range(len(nbest[k])):
+                    scores[(k, i)] = float(o[u, g, i])
+        return self._assemble(nbest, scores)
+
     def _score_carry(self, nbest, word2idx, stream_fn=None, enc_all=None):
+        if self._packed_allowed():
+            return self._score_carry_packed(nbest, word2idx, stream_fn, enc_all)
         rc = self.rcfg
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)

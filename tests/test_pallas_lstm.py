@@ -161,3 +161,50 @@ def test_unroll_respects_vmem_budget():
         > int(0.9 * lp._VMEM_LIMIT)
     assert not lp.pallas_lstm_ok(1024, jnp.bfloat16, batch=1600, train=True) \
         or jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def test_pallas_reset_matches_scan():
+    """Packed-time carry-over: the reset-kernel (P-matmul state broadcast at
+    utterance boundaries) matches the scan path's gather-based reset
+    (interpret mode)."""
+    T, B, IN, H = 12, 8, 16, 16
+    N = 4  # 2 chains x 4 hypothesis columns
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(T, B, IN)).astype(np.float32))
+    p = LSTMParams(
+        w_ih=jnp.asarray(rng.normal(size=(4 * H, IN)).astype(np.float32) * 0.1),
+        w_hh=jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * 0.1),
+        b_ih=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+        b_hh=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+    )
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    mask = np.ones((T, B), np.float32)
+    mask[5:8, 1:4] = 0.0  # some columns end early inside a segment
+    reset = np.zeros((T, B), np.float32)
+    reset[4, :N] = 1.0   # chain 0: new utterance at t=4
+    reset[7, N:] = 1.0   # chain 1: new utterance at t=7
+    reset_src = jnp.asarray((np.arange(B) // N) * N, np.int32)
+    mask = jnp.asarray(mask)
+    reset_j = jnp.asarray(reset)
+
+    ys_ref, hT_ref, cT_ref = lstm_layer(
+        x, h0, c0, p, step_mask=mask, reset_mask=reset_j, reset_src=reset_src)
+    ys, hT, cT = lp.lstm_layer_pallas(
+        x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, mask,
+        reset_mask=reset_j, reset_src=reset_src)
+
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), rtol=1e-5, atol=1e-5)
+
+    # semantic check: at a reset step every column of the chain starts from
+    # col 0's state — columns of chain 0 agree with col 0 at t=4 onward until
+    # their inputs diverge (same x would keep them identical; different x
+    # diverges). Use identical inputs for chain 0's columns to check.
+    x_same = jnp.asarray(np.repeat(rng.normal(size=(T, 1, IN)), B, axis=1).astype(np.float32))
+    ys2, _, _ = lstm_layer(
+        x_same, h0, c0, p, step_mask=None, reset_mask=reset_j, reset_src=reset_src)
+    # after chain-0's reset at t=4, its 4 columns carry identical state
+    seg = np.asarray(ys2)[4:, :N, :]
+    np.testing.assert_allclose(seg, np.repeat(seg[:, :1], N, axis=1), rtol=1e-6, atol=1e-6)

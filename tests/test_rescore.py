@@ -199,3 +199,55 @@ def test_packed_fused_decode_matches_xla_path(monkeypatch):
                 [s for _, s in got[k]], [s for _, s in ref[k]],
                 rtol=1e-4, atol=1e-5, err_msg=k,
             )
+
+
+@pytest.mark.parametrize("uncertainty,pos", [("none", 0), ("Bayesian", 3)])
+def test_packed_carry_matches_slotted(monkeypatch, uncertainty, pos):
+    """Packed-time carry-over layout (one time-packed sequence per chunk,
+    in-scan state resets at utterance starts) scores identically to the
+    per-utterance slotted layout, across chains of uneven length, uneven
+    hypothesis counts, chunk boundaries, and over-long hypotheses."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16,
+                      dropout=0.0, uncertainty=uncertainty, l_bayes_pos=pos)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(7)
+    nbest = OrderedDict()
+    # chain A: 5 utterances, chain B: 2 — uneven; uneven hyp counts; one
+    # hypothesis longer than max_hyp_len (truncation parity)
+    for u in range(5):
+        nbest[f"A_{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(2, 10)))
+            for _ in range(3 if u % 2 else 2)
+        ]
+    nbest["A_2"].append(" ".join(f"w{rng.integers(2, V)}" for _ in range(25)))
+    for u in range(2):
+        nbest[f"B_{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 8)))
+            for _ in range(3)
+        ]
+    stream = lambda k: k.split("_")[0]
+
+    rc = RescoreConfig(carry_over=True, max_hyp_len=16, carry_chunk_utts=2)
+    plain = BatchScorer(cfg, params, rc)
+    assert not plain._packed_allowed()  # CPU platform gate (fused CE off)
+    ref = plain.score_nbest(nbest, w2i, stream_fn=stream)
+
+    packed = BatchScorer(cfg, params, rc)
+    packed.use_fused_ce = True
+    assert packed._packed_allowed()
+    got = packed.score_nbest(nbest, w2i, stream_fn=stream)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-5, err_msg=k)
