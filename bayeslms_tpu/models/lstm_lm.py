@@ -318,7 +318,8 @@ class GPLSTMCell(nn.Module):
             out = H if g <= 5 else 4 * H
             self.gpnn = GPNN2(H, out, act_set=("sigmoid", "relu", "tanh"))
 
-    def __call__(self, x, hc, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hc, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         H = self.hidden_size
         g, t = self.gate_type, self.gpnn_type
         dtype = x.dtype
@@ -439,12 +440,18 @@ class GPLSTMCell(nn.Module):
         steps = jnp.arange(T)
         gpx = gp_pre_x if gp_pre_x is not None else jnp.zeros((T, 1, 1), dtype=dtype)
         ms = step_mask if step_mask is not None else jnp.zeros((T, 0), dtype)
+        rs = reset_mask if reset_mask is not None else jnp.zeros((T, 0), dtype)
 
         def body(carry, inp):
-            xg_t, gpx_t, step, m_t = inp
+            xg_t, gpx_t, step, m_t, r_t = inp
+            if reset_mask is not None:
+                from ..ops.lstm import _apply_reset
+
+                carry = (_apply_reset(carry[0], r_t, reset_src),
+                         _apply_reset(carry[1], r_t, reset_src))
             return step_fn(carry, xg_t, gpx_t, step, m_t if step_mask is not None else None)
 
-        (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xg, gpx, steps, ms))
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xg, gpx, steps, ms, rs))
         return ys, (hT, cT)
 
     def kl(self):
@@ -479,25 +486,27 @@ class GPLSTMCore(nn.Module):
             self.cell0 = GPLSTMCell(E, H, int(s[0]), int(s[1]), cfg.gp_sample)
             self.cell1 = GPLSTMCell(H, H, int(s[2]), int(s[1]), cfg.gp_sample)
 
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         h0, c0 = hidden
+        rkw = dict(reset_mask=reset_mask, reset_src=reset_src)
         if self.kind == "std":
-            return self.std_core(x, hidden, deterministic, step_mask)
+            return self.std_core(x, hidden, deterministic, step_mask, **rkw)
         if self.kind == "len2":
-            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask)
+            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask, **rkw)
             out1, h_b, c_b = self.std1(out0, h0[1], c0[1], step_mask,
-                                       deterministic)
+                                       deterministic, **rkw)
             hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
             kls = [self._cell_kl(self.cell0)]
         elif self.kind == "len3":
             out0, h_a, c_a = self.std0(x, h0[0], c0[0], step_mask,
-                                       deterministic)
-            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask)
+                                       deterministic, **rkw)
+            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask, **rkw)
             hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
             kls = [self._cell_kl(self.cell1)]
         else:
-            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask)
-            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask)
+            out0, (h_a, c_a) = self.cell0(x, (h0[0], c0[0]), deterministic, step_mask, **rkw)
+            out1, (h_b, c_b) = self.cell1(out0, (h0[1], c0[1]), deterministic, step_mask, **rkw)
             hs = (jnp.stack([h_a, h_b]), jnp.stack([c_a, c_b]))
             kls = [self._cell_kl(self.cell0), self._cell_kl(self.cell1)]
 
@@ -521,12 +530,14 @@ class _StdLSTMLayer(nn.Module):
     hidden_size: int
 
     @nn.compact
-    def __call__(self, x, h0, c0, step_mask=None, deterministic: bool = True):
+    def __call__(self, x, h0, c0, step_mask=None, deterministic: bool = True,
+                 reset_mask=None, reset_src=None):
         p = _layer_params(self, "l", 4, self.input_size, self.hidden_size)
         # deterministic (eval/scoring) -> forward-only pallas recurrence;
         # grad paths take the custom-VJP train recurrence
         return lstm_layer(x, h0, c0, p, step_mask=step_mask,
-                          allow_pallas=deterministic)
+                          allow_pallas=deterministic,
+                          reset_mask=reset_mask, reset_src=reset_src)
 
 
 class GaussLSTMLegacyCore(nn.Module):
@@ -567,7 +578,8 @@ class GaussLSTMLegacyCore(nn.Module):
         elif pos in (6, 7):
             self.gpnn = GPNN(H, 4 * H)
 
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         cfg = self.cfg
         H = cfg.nhid
         pos = cfg.l_gauss_legacy_pos
@@ -604,9 +616,16 @@ class GaussLSTMLegacyCore(nn.Module):
         act5 = self.gpnn.act_set if pos == 5 else ()
         act6 = self.gpnn.act_set if pos == 6 else ()
 
+        rs = reset_mask if reset_mask is not None else jnp.zeros((T, 0), dtype)
+
         def step(carry, inp):
             h1, c1 = carry
-            xg_t, gpx_t, m_t = inp
+            xg_t, gpx_t, m_t, r_t = inp
+            if reset_mask is not None:
+                from ..ops.lstm import _apply_reset
+
+                h1 = _apply_reset(h1, r_t, reset_src)
+                c1 = _apply_reset(c1, r_t, reset_src)
             if pos == 6:
                 gates = xg_t + GPNN.apply_drawn(h1, *drawn6, act6)
             else:
@@ -628,7 +647,7 @@ class GaussLSTMLegacyCore(nn.Module):
             cn = keep * cn + (1.0 - keep) * c1
             return (hn, cn), hn
 
-        (h1T, c1T), ys1 = jax.lax.scan(step, (h0[0], c0[0]), (xg, gpx, ms))
+        (h1T, c1T), ys1 = jax.lax.scan(step, (h0[0], c0[0]), (xg, gpx, ms, rs))
 
         # layer 2: standard LSTM over layer-1 outputs (model.py:1590-1600)
         p2 = LSTMParams(
@@ -636,7 +655,8 @@ class GaussLSTMLegacyCore(nn.Module):
             self.bias_ih_mean_2, self.bias_hh_mean_2,
         )
         ys2, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask,
-                                   allow_pallas=deterministic)
+                                   allow_pallas=deterministic,
+                                   reset_mask=reset_mask, reset_src=reset_src)
         return ys2, (jnp.stack([h1T, h2T]), jnp.stack([c1T, c2T]))
 
 
@@ -679,20 +699,23 @@ class VLSTMLegacyCore(nn.Module):
             self.hiddens_lgstd_p = self.param("hiddens_lgstd_p", lg, (R, H))
             self.hiddens_mean_p = self.param("hiddens_mean_p", init, (R, H))
 
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         h0, c0 = hidden
         p1 = LSTMParams(
             self.weight_ih_mean_1, self.weight_hh_mean_1,
             self.bias_ih_mean_1, self.bias_hh_mean_1,
         )
         ys1, h1T, c1T = lstm_layer(x, h0[0], c0[0], p1, step_mask=step_mask,
-                                   allow_pallas=deterministic)
+                                   allow_pallas=deterministic,
+                                   reset_mask=reset_mask, reset_src=reset_src)
         p2 = LSTMParams(
             self.weight_ih_mean_2, self.weight_hh_mean_2,
             self.bias_ih_mean_2, self.bias_hh_mean_2,
         )
         out, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask,
-                                   allow_pallas=deterministic)
+                                   allow_pallas=deterministic,
+                                   reset_mask=reset_mask, reset_src=reset_src)
 
         if self.active:
             pre = out  # KL reads the PRE-noise output (model.py:2664-2672)
@@ -741,7 +764,8 @@ class VLSTMCore(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None):
+    def __call__(self, x, hidden: Hidden, deterministic: bool = True, step_mask=None,
+                 reset_mask=None, reset_src=None):
         cfg = self.cfg
         H = cfg.nhid
         h0, c0 = hidden
@@ -770,10 +794,16 @@ class VLSTMCore(nn.Module):
                 noise = jnp.zeros((T, 1, H), dtype=dtype)
 
             ms = step_mask if step_mask is not None else jnp.ones((T, out.shape[1]), dtype)
+            rs = reset_mask if reset_mask is not None else jnp.zeros((T, 0), dtype)
 
             def step(carry, inp):
                 h, c = carry
-                xg_t, eps_t, m_t = inp
+                xg_t, eps_t, m_t, r_t = inp
+                if reset_mask is not None:
+                    from ..ops.lstm import _apply_reset
+
+                    h = _apply_reset(h, r_t, reset_src)
+                    c = _apply_reset(c, r_t, reset_src)
                 gates = xg_t + h @ w_hh_t + b_ih.astype(dtype)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 cn = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -784,7 +814,7 @@ class VLSTMCore(nn.Module):
                 cn = keep * cn + (1.0 - keep) * c
                 return (hn, cn), (hn, h_pre)
 
-            (hT, cT), (ys, ys_pre) = jax.lax.scan(step, (h0[l], c0[l]), (xg, noise, ms))
+            (hT, cT), (ys, ys_pre) = jax.lax.scan(step, (h0[l], c0[l]), (xg, noise, ms, rs))
             out = ys
             hs.append(hT)
             cs.append(cT)
@@ -849,18 +879,14 @@ class RecurrentLM(nn.Module):
         materialize.
 
         ``reset_mask`` (T, B) + ``reset_src`` (B,): packed-time carry-over
-        (see ops/lstm.py lstm_layer) — supported by the standard and
-        Bayesian cores (the ones the rescorer's packed layout targets).
+        (see ops/lstm.py lstm_layer) — supported by every recurrent core
+        (standard, Bayesian, GP, Gaussian-legacy, variational).
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         emb = jnp.take(self.embedding, tokens, axis=0).astype(dtype)
         emb = self.drop(emb, deterministic=deterministic)
         if reset_mask is not None:
-            if not isinstance(self.core, (StandardRNNCore, BayesLSTMCore)):
-                raise ValueError(
-                    "reset_mask (packed carry-over) requires a standard or "
-                    f"Bayesian recurrent core, got {type(self.core).__name__}")
             out, hidden = self.core(emb, hidden, deterministic, step_mask,
                                     reset_mask=reset_mask, reset_src=reset_src)
         else:

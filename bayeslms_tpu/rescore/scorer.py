@@ -195,9 +195,10 @@ class BatchScorer:
         """Packed-time carry-over: each chain's utterances lie consecutively
         along ONE time axis with per-utterance exact (capped) lengths and
         in-kernel state resets at utterance starts — ~2-3x fewer sequential
-        recurrence steps than per-utterance padded slots. Standard +
-        Bayesian recurrent cores only (they thread reset_mask); exotic
-        cores / mesh / XL / MC / interp fall back to the slotted layout."""
+        recurrence steps than per-utterance padded slots. Every recurrent
+        core threads reset_mask (standard, Bayes, GP, Gauss-legacy,
+        variational); mesh / XL / MC / interp fall back to the slotted
+        layout."""
         cfg, rcfg = self.cfg, self.rcfg
         return (
             rcfg.carry_over
@@ -207,8 +208,6 @@ class BatchScorer:
             and rcfg.mc_samples == 0
             and not rcfg.xl_mems
             and self.interp == 0
-            and (cfg.uncertainty == "none"
-                 or (cfg.uncertainty == "Bayesian" and cfg.model == "LSTM"))
             and os.environ.get("BAYESLM_PACKED_CARRY", "1") != "0"
         )
 

@@ -201,12 +201,22 @@ def test_packed_fused_decode_matches_xla_path(monkeypatch):
             )
 
 
-@pytest.mark.parametrize("uncertainty,pos", [("none", 0), ("Bayesian", 3)])
-def test_packed_carry_matches_slotted(monkeypatch, uncertainty, pos):
+@pytest.mark.parametrize("extra", [
+    dict(uncertainty="none"),
+    dict(uncertainty="Bayesian", l_bayes_pos=3),
+    dict(uncertainty="Gaussian", l_gauss_pos="13"),        # GP cell, layer 1
+    dict(uncertainty="Gaussian", l_gauss_pos="3133"),      # GP cells both layers
+    dict(uncertainty="Gaussian", l_gauss_legacy_pos=3),    # legacy GaussLSTM
+    dict(uncertainty="Variational", l_v_pos="11"),
+    dict(uncertainty="Variational", l_v_pos="11", l_v_legacy=True),
+    dict(uncertainty="none", model="GRU"),
+])
+def test_packed_carry_matches_slotted(monkeypatch, extra):
     """Packed-time carry-over layout (one time-packed sequence per chunk,
     in-scan state resets at utterance starts) scores identically to the
     per-utterance slotted layout, across chains of uneven length, uneven
-    hypothesis counts, chunk boundaries, and over-long hypotheses."""
+    hypothesis counts, chunk boundaries, over-long hypotheses, and every
+    recurrent core family."""
     from bayeslms_tpu.ops import ce_pallas as cp
 
     monkeypatch.setattr(cp, "_INTERPRET", True)
@@ -214,8 +224,9 @@ def test_packed_carry_matches_slotted(monkeypatch, uncertainty, pos):
     monkeypatch.setattr(cp, "_BV", 128)
 
     V = 32
-    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16,
-                      dropout=0.0, uncertainty=uncertainty, l_bayes_pos=pos)
+    kw = dict(model="LSTM", vocab_size=V, emsize=16, nhid=16, dropout=0.0)
+    kw.update(extra)
+    cfg = ModelConfig(**kw)
     model = build_model(cfg)
     params = init_params(model, cfg)
     w2i = {"<s>": 1, "<unk>": 0}

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import make_synthetic_nbest, stream_of  # noqa: E402
 
 
-def run(packed: bool):
+def run(packed: bool, extra=None):
     os.environ["BAYESLM_PACKED_CARRY"] = "1" if packed else "0"
     from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
     from bayeslms_tpu.rescore.scorer import BatchScorer
@@ -25,7 +25,7 @@ def run(packed: bool):
     V = 49152
     cfg = ModelConfig(
         model="LSTM", vocab_size=V, emsize=1024, nhid=1024, nlayers=2,
-        dropout=0.2, compute_dtype="bfloat16",
+        dropout=0.2, compute_dtype="bfloat16", **(extra or {}),
     )
     model = build_model(cfg)
     params = init_params(model, cfg, seq_len=8, batch=2)
@@ -39,8 +39,11 @@ def run(packed: bool):
 
 
 def main():
-    nbest, a = run(packed=True)
-    _, b = run(packed=False)
+    # --gp adds the GP-LSTM flagship config (scan-path GP cell + Pallas std
+    # layer under packing); default is the standard flagship LSTM
+    extra = {"uncertainty": "Gaussian", "l_gauss_pos": "13"} if "--gp" in sys.argv else None
+    nbest, a = run(packed=True, extra=extra)
+    _, b = run(packed=False, extra=extra)
     worst = 0.0
     for k in nbest:
         sa = np.array([s for _, s in a[k]])
