@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core.config import ModelConfig
 from ..ops import gaussian
-from ..ops.lstm import LSTMParams, gru_layer, lstm_layer, rnn_layer
+from ..ops.lstm import LSTMParams, gru_layer, lstm_layer, lstm_stack2, rnn_layer
 from . import initializers as tinit
 from .layers import GPNN, GPNN2, VNN
 
@@ -67,6 +67,23 @@ class StandardRNNCore(nn.Module):
         cfg = self.cfg
         gates = {"LSTM": 4, "GRU": 3, "RNN_TANH": 1, "RNN_RELU": 1}[cfg.model]
         h0, c0 = hidden
+        if cfg.model == "LSTM" and cfg.nlayers == 2:
+            # Hot path (every recipe trains a 2-layer LSTM): fuse both layers
+            # into one sequential Pallas grid when available (lstm_stack2).
+            p_0 = _layer_params(self, "l0", 4, cfg.emsize, cfg.nhid)
+            p_1 = _layer_params(self, "l1", 4, cfg.nhid, cfg.nhid)
+            dmask = None
+            if cfg.dropout > 0 and not deterministic:
+                keep_p = 1.0 - cfg.dropout
+                bern = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep_p,
+                    (x.shape[0], x.shape[1], cfg.nhid))
+                dmask = bern.astype(x.dtype) / keep_p
+            out, hs, cs = lstm_stack2(
+                x, h0, c0, p_0, p_1, step_mask=step_mask,
+                allow_pallas=deterministic, reset_mask=reset_mask,
+                reset_src=reset_src, dropout_mask=dmask)
+            return out, (jnp.stack(hs), jnp.stack(cs))
         hs, cs = [], []
         out = x
         for l in range(cfg.nlayers):
@@ -194,14 +211,12 @@ class BayesLSTMCore(nn.Module):
             eff[1]["b_ih"] = eff[1]["b_ih"] + gaussian.sample_diff(ks[3], lp["b_ih"])
 
         h0, c0 = hidden
-        out = x
-        hs, cs = [], []
-        for l in range(2):
-            p = LSTMParams(eff[l]["w_ih"], eff[l]["w_hh"], eff[l]["b_ih"], eff[l]["b_hh"])
-            out, hT, cT = lstm_layer(out, h0[l], c0[l], p, step_mask=step_mask, allow_pallas=deterministic,
-                                     reset_mask=reset_mask, reset_src=reset_src)
-            hs.append(hT)
-            cs.append(cT)
+        p_0 = LSTMParams(eff[0]["w_ih"], eff[0]["w_hh"], eff[0]["b_ih"], eff[0]["b_hh"])
+        p_1 = LSTMParams(eff[1]["w_ih"], eff[1]["w_hh"], eff[1]["b_ih"], eff[1]["b_hh"])
+        out, hs, cs = lstm_stack2(
+            x, h0, c0, p_0, p_1, step_mask=step_mask,
+            allow_pallas=deterministic, reset_mask=reset_mask,
+            reset_src=reset_src)
 
         prior_w = None
         if self.has_variable("priors", "weight_hh_mean_1") and self.has_variable(
@@ -706,16 +721,16 @@ class VLSTMLegacyCore(nn.Module):
             self.weight_ih_mean_1, self.weight_hh_mean_1,
             self.bias_ih_mean_1, self.bias_hh_mean_1,
         )
-        ys1, h1T, c1T = lstm_layer(x, h0[0], c0[0], p1, step_mask=step_mask,
-                                   allow_pallas=deterministic,
-                                   reset_mask=reset_mask, reset_src=reset_src)
         p2 = LSTMParams(
             self.weight_ih_mean_2, self.weight_hh_mean_2,
             self.bias_ih_mean_2, self.bias_hh_mean_2,
         )
-        out, h2T, c2T = lstm_layer(ys1, h0[1], c0[1], p2, step_mask=step_mask,
-                                   allow_pallas=deterministic,
-                                   reset_mask=reset_mask, reset_src=reset_src)
+        # lstm_stack2 falls back to two per-layer calls when the reference's
+        # (4H, emsize) layer-2 shape quirk doesn't match (emsize != nhid)
+        out, (h1T, h2T), (c1T, c2T) = lstm_stack2(
+            x, h0, c0, p1, p2, step_mask=step_mask,
+            allow_pallas=deterministic,
+            reset_mask=reset_mask, reset_src=reset_src)
 
         if self.active:
             pre = out  # KL reads the PRE-noise output (model.py:2664-2672)

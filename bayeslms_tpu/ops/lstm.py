@@ -247,3 +247,82 @@ def custom_cell_scan(
 
     (hT, cT), ys = lax.scan(body, (h0, c0), xs, unroll=unroll)
     return ys, hT, cT
+
+
+def lstm_stack2(
+    x: jax.Array,
+    h0: jax.Array,   # (2, B, H)
+    c0: jax.Array,   # (2, B, H)
+    p1: LSTMParams,
+    p2: LSTMParams,
+    unroll: int = 8,
+    step_mask: Optional[jax.Array] = None,
+    allow_pallas: bool = False,
+    reset_mask: Optional[jax.Array] = None,
+    reset_src: Optional[jax.Array] = None,
+    dropout_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Two stacked LSTM layers, fused into ONE sequential Pallas grid when
+    available: halves the sequential grid-iteration count vs two per-layer
+    kernels, keeps the inter-layer activation in VMEM (no (T, B, H) HBM
+    round-trip), and runs layer 2's input projection against a VMEM-resident
+    W_ih2 (the reference's hot path is a 2-layer `_VF.lstm`, model.py:41-46).
+    Falls back to two ``lstm_layer`` calls (which themselves route to the
+    single-layer kernels or the XLA scan). Opt out: BAYESLM_PALLAS_LSTM2=0.
+
+    ``dropout_mask`` (T, B, H): inter-layer inverted-dropout mask applied to
+    layer 1's output (torch nn.LSTM semantics); grad paths only.
+
+    Measured on v5e (H=1024): scoring (B=200) +15% — the halved launch count
+    and VMEM-resident inter-layer activation win. Training (B=32) is 2-5%
+    SLOWER fused: moving layer 2's input projection in-kernel runs it at
+    32/128 MXU rows instead of one full-width (T*B, H) matmul, and the
+    recurrence is latency-bound regardless (docs/ROOFLINE.md). The train
+    route is therefore opt-IN via BAYESLM_PALLAS_LSTM2_TRAIN=1.
+
+    Returns (ys2, (hT1, hT2), (cT1, cT2)).
+    """
+    import os
+
+    from .kernel_gate import pallas_allowed
+
+    H = p1.w_hh.shape[1]
+    if (
+        os.environ.get("BAYESLM_PALLAS_LSTM2", "1") != "0"
+        and pallas_allowed()
+        and p2.w_ih.shape == (4 * H, H)
+    ):
+        from .lstm_pallas import (
+            lstm2_layer_pallas, lstm2_layer_pallas_train, pallas_lstm2_ok,
+        )
+
+        if allow_pallas and dropout_mask is None \
+                and os.environ.get("BAYESLM_PALLAS_LSTM", "1") != "0" \
+                and pallas_lstm2_ok(H, x.dtype, batch=x.shape[1]):
+            return lstm2_layer_pallas(
+                x, h0[0], c0[0], h0[1], c0[1],
+                p1.w_ih, p1.w_hh, p1.b_ih, p1.b_hh,
+                p2.w_ih, p2.w_hh, p2.b_ih, p2.b_hh,
+                step_mask, reset_mask, reset_src,
+            )
+        if (not allow_pallas) and reset_mask is None \
+                and os.environ.get("BAYESLM_PALLAS_LSTM2_TRAIN", "0") == "1" \
+                and os.environ.get("BAYESLM_PALLAS_LSTM_TRAIN", "1") != "0" \
+                and pallas_lstm2_ok(H, x.dtype, batch=x.shape[1], train=True):
+            return lstm2_layer_pallas_train(
+                x, h0[0], c0[0], h0[1], c0[1],
+                p1.w_ih, p1.w_hh, p1.b_ih, p1.b_hh,
+                p2.w_ih, p2.w_hh, p2.b_ih, p2.b_hh,
+                step_mask, dropout_mask,
+            )
+    ys1, h1T, c1T = lstm_layer(
+        x, h0[0], c0[0], p1, unroll, step_mask, allow_pallas,
+        reset_mask, reset_src,
+    )
+    if dropout_mask is not None:
+        ys1 = ys1 * dropout_mask.astype(ys1.dtype)
+    ys2, h2T, c2T = lstm_layer(
+        ys1, h0[1], c0[1], p2, unroll, step_mask, allow_pallas,
+        reset_mask, reset_src,
+    )
+    return ys2, (h1T, h2T), (c1T, c2T)

@@ -47,7 +47,22 @@ def stream_of(key):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the fused rescoring stack compiles
+    # several bucket shapes (~10+ min cold on the tunnel-attached chip);
+    # warm runs skip straight to execution.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the persistent cache knobs
+
     import jax.numpy as jnp
 
     from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params

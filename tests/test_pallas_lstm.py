@@ -208,3 +208,125 @@ def test_pallas_reset_matches_scan():
     # after chain-0's reset at t=4, its 4 columns carry identical state
     seg = np.asarray(ys2)[4:, :N, :]
     np.testing.assert_allclose(seg, np.repeat(seg[:, :1], N, axis=1), rtol=1e-6, atol=1e-6)
+
+
+def _rand_params(rng, IN, H, scale=0.3):
+    return LSTMParams(
+        w_ih=jnp.asarray(rng.normal(size=(4 * H, IN)).astype(np.float32) * scale),
+        w_hh=jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * scale),
+        b_ih=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+        b_hh=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+    )
+
+
+@pytest.mark.parametrize("masked,reset", [(False, False), (True, False), (True, True)])
+def test_fused2_forward_matches_two_layers(masked, reset):
+    """Fused 2-layer forward kernel == two single lstm_layer calls, across
+    mask/reset variants (interpret mode)."""
+    T, B, E, H = 12, 8, 16, 16
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    p1 = _rand_params(rng, E, H, 0.1)
+    p2 = _rand_params(rng, H, H, 0.1)
+    h0 = jnp.asarray(rng.normal(size=(2, B, H)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.normal(size=(2, B, H)).astype(np.float32) * 0.1)
+    mask = None
+    if masked:
+        m = np.ones((T, B), np.float32)
+        m[7:, 1:4] = 0.0
+        mask = jnp.asarray(m)
+    rmask, rsrc = None, None
+    if reset:
+        r = np.zeros((T, B), np.float32)
+        r[5, :4] = 1.0
+        r[8, 4:] = 1.0
+        rmask = jnp.asarray(r)
+        rsrc = jnp.asarray((np.arange(B) // 4) * 4, np.int32)
+
+    from bayeslms_tpu.ops.lstm import lstm_layer as _ll
+
+    ys1, h1T, c1T = _ll(x, h0[0], c0[0], p1, step_mask=mask,
+                        reset_mask=rmask, reset_src=rsrc)
+    ys_ref, h2T, c2T = _ll(ys1, h0[1], c0[1], p2, step_mask=mask,
+                           reset_mask=rmask, reset_src=rsrc)
+
+    ys, (hA, hB), (cA, cB) = lp.lstm2_layer_pallas(
+        x, h0[0], c0[0], h0[1], c0[1],
+        p1.w_ih, p1.w_hh, p1.b_ih, p1.b_hh,
+        p2.w_ih, p2.w_hh, p2.b_ih, p2.b_hh,
+        mask, rmask, rsrc)
+
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hA), np.asarray(h1T), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hB), np.asarray(h2T), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cA), np.asarray(c1T), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cB), np.asarray(c2T), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked,dropped", [(False, False), (True, False), (True, True)])
+def test_fused2_train_grads_match_scan(masked, dropped):
+    """Fused 2-layer custom VJP: outputs and ALL grads (x, both layers'
+    W_ih/W_hh/b_ih/b_hh, h0, c0) match two chained scan layers' autodiff,
+    with step mask and inter-layer dropout mask (interpret mode)."""
+    import os
+
+    rng = np.random.default_rng(31)
+    T, B, E, H = 10, 4, 8, 8
+    x = jnp.asarray(rng.normal(size=(T, B, E)).astype(np.float32))
+    p1 = _rand_params(rng, E, H)
+    p2 = _rand_params(rng, H, H)
+    h0 = jnp.asarray(rng.normal(size=(2, B, H)).astype(np.float32))
+    c0 = jnp.asarray(rng.normal(size=(2, B, H)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(T, B)) > 0.3).astype(np.float32)) if masked else None
+    dmask = None
+    if dropped:
+        dmask = jnp.asarray(
+            (rng.uniform(size=(T, B, H)) > 0.25).astype(np.float32) / 0.75)
+
+    from bayeslms_tpu.ops.lstm import lstm_layer as _ll
+
+    args = (x, p1.w_ih, p1.w_hh, p1.b_ih, p1.b_hh,
+            p2.w_ih, p2.w_hh, p2.b_ih, p2.b_hh, h0, c0)
+
+    def loss_fused(x, wi1, wh1, bi1, bh1, wi2, wh2, bi2, bh2, h0, c0):
+        ys, (hA, hB), (cA, cB) = lp.lstm2_layer_pallas_train(
+            x, h0[0], c0[0], h0[1], c0[1],
+            wi1, wh1, bi1, bh1, wi2, wh2, bi2, bh2, mask, dmask)
+        return (jnp.sum(ys * dy) + jnp.sum(hA * 0.3) + jnp.sum(hB * 0.7)
+                + jnp.sum(cA * 0.2) + jnp.sum(cB * 0.5))
+
+    def loss_scan(x, wi1, wh1, bi1, bh1, wi2, wh2, bi2, bh2, h0, c0):
+        ys1, hA, cA = _ll(x, h0[0], c0[0], LSTMParams(wi1, wh1, bi1, bh1),
+                          step_mask=mask, allow_pallas=False)
+        if dmask is not None:
+            ys1 = ys1 * dmask
+        ys, hB, cB = _ll(ys1, h0[1], c0[1], LSTMParams(wi2, wh2, bi2, bh2),
+                         step_mask=mask, allow_pallas=False)
+        return (jnp.sum(ys * dy) + jnp.sum(hA * 0.3) + jnp.sum(hB * 0.7)
+                + jnp.sum(cA * 0.2) + jnp.sum(cB * 0.5))
+
+    os.environ["BAYESLM_PALLAS_LSTM_TRAIN"] = "0"
+    v2, g2 = jax.value_and_grad(loss_scan, argnums=tuple(range(11)))(*args)
+    os.environ.pop("BAYESLM_PALLAS_LSTM_TRAIN", None)
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=tuple(range(11)))(*args)
+
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    names = ("dx", "dwi1", "dwh1", "dbi1", "dbh1", "dwi2", "dwh2", "dbi2",
+             "dbh2", "dh0", "dc0")
+    for a, b, name in zip(g1, g2, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=f"{name} masked={masked} dropped={dropped}")
+
+
+def test_fused2_vmem_budget():
+    """_est_vmem2 accounts for the three resident weight blocks; flagship
+    train (B=32) and scoring (B=200) shapes fit; absurd batches are refused."""
+    s = 2  # bf16
+    assert lp._unroll2(100, 32, 1024, lp._ROWS2_TRAIN_BWD, s) >= 2
+    u = lp._unroll2(64, 200, 1024, lp._ROWS2_FWD, s, reset=True)
+    assert lp._est_vmem2(u, 200, 1024, lp._ROWS2_FWD * 1024, s, reset=True) \
+        <= int(0.9 * lp._VMEM_LIMIT)
+    assert lp._est_vmem2(1, 4096, 1024, lp._ROWS2_TRAIN_BWD * 1024, s) \
+        > int(0.9 * lp._VMEM_LIMIT)
