@@ -162,12 +162,38 @@ class BatchScorer:
 
             self._carry_step = jax.jit(carry_sharded, static_argnums=(8,))
             self._bucket_step = jax.jit(bucket_sharded)
+
+            def packed_sharded(params, data, tgt, mask, reset, h1,
+                               G_l, N, n_seg_l, idx, seg, n_real):
+                """Packed-time carry over a dp mesh: chains split as
+                contiguous column blocks (a chain never crosses shards), so
+                each shard runs the FULL packed impl — in-kernel resets,
+                fused CE — on its local chains with a shard-local gather
+                plan. G_l/n_seg_l are PER-SHARD chain/segment counts."""
+                b2 = P(None, "dp")   # (T, G*N) packed blocks
+                h3 = P(None, "dp", None)
+
+                def body(p, d, t, m, r, c1, i_, s_, n_):
+                    return self._packed_carry_impl(
+                        p, d, t, m, r, c1, G_l, N, n_seg_l,
+                        i_[0], s_[0], n_[0])
+
+                f = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), b2, b2, b2, b2, h3,
+                              P("dp", None), P("dp", None), P("dp")),
+                    out_specs=(P("dp"), h3),
+                    check_vma=False,
+                )
+                return f(params, data, tgt, mask, reset, h1, idx, seg, n_real)
+
+            self._packed_step = jax.jit(packed_sharded, static_argnums=(6, 7, 8))
         else:
             self._dp = 1
             self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
             self._bucket_step = jax.jit(self._bucket_chunk_impl)
-        self._packed_step = jax.jit(
-            self._packed_carry_impl, static_argnums=(6, 7, 8))
+            self._packed_step = jax.jit(
+                self._packed_carry_impl, static_argnums=(6, 7, 8))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -197,14 +223,14 @@ class BatchScorer:
         in-kernel state resets at utterance starts — ~2-3x fewer sequential
         recurrence steps than per-utterance padded slots. Every recurrent
         core threads reset_mask (standard, Bayes, GP, Gauss-legacy,
-        variational); mesh / XL / MC / interp fall back to the slotted
-        layout."""
+        variational). Runs dp-sharded on a mesh (chains split as contiguous
+        column blocks, one full packed impl per shard); XL / MC / interp
+        fall back to the slotted layout."""
         cfg, rcfg = self.cfg, self.rcfg
         return (
             rcfg.carry_over
             and not cfg.is_transformer
             and self.use_fused_ce
-            and self.mesh is None
             and rcfg.mc_samples == 0
             and not rcfg.xl_mems
             and self.interp == 0
@@ -795,6 +821,40 @@ class BatchScorer:
         )
         return scores, first_hyp(nh)
 
+    def _plan_args_packed(self, T: int, G: int, N: int, plan):
+        """Device args for the PACKED gather plan. Mesh: chains split as
+        contiguous column blocks of Gl = G/dp chains; indices, columns AND
+        the packed segment ids ((u*G + g)*N + c) are re-localized per shard
+        and stacked (dp, K)."""
+        if self.mesh is None:
+            idx, seg, n = plan
+            return jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32)
+        dp = self._dp
+        Gl = G // dp
+        Bl = Gl * N
+        B = G * N
+        idx, seg, n = plan
+        idx, seg = idx[:n].astype(np.int64), seg[:n].astype(np.int64)
+        col = idx % B
+        t = idx // B
+        g = col // N
+        u = seg // (G * N)
+        c = seg % N
+        shard = g // Gl
+        packs = []
+        for s_ in range(dp):
+            m = shard == s_
+            lseg = (u[m] * Gl + (g[m] - s_ * Gl)) * N + c[m]
+            lidx = t[m] * Bl + (col[m] - s_ * Bl)
+            packs.append(self._pack_plan(lidx, lseg, T * Bl))
+        K = max(p[0].shape[0] for p in packs)
+        idx2 = np.zeros((dp, K), np.int32)
+        seg2 = np.zeros((dp, K), np.int32)
+        nn = np.zeros((dp,), np.int32)
+        for s_, (i_, s__, n_) in enumerate(packs):
+            idx2[s_, : len(i_)], seg2[s_, : len(s__)], nn[s_] = i_, s__, n_
+        return jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
+
     def _score_carry_packed(self, nbest, word2idx, stream_fn=None, enc_all=None):
         rc = self.rcfg
         N = max((len(h) for h in nbest.values()), default=1)
@@ -803,7 +863,12 @@ class BatchScorer:
             label = stream_fn(k) if stream_fn else "_all"
             streams.setdefault(label, []).append(k)
         stream_keys = list(streams.values())
+        # dp sharding splits g-major column blocks: pad with empty chains so
+        # whole chains land on one shard (same convention as the slotted path)
+        while len(stream_keys) % self._dp != 0:
+            stream_keys.append([])
         G = len(stream_keys)
+        Gl = G // self._dp  # per-shard chains (== G on a single device)
         U_total = max(len(s) for s in stream_keys)
         cap = rc.max_hyp_len
         cdtype = jnp.dtype(self.cfg.compute_dtype)
@@ -845,20 +910,21 @@ class BatchScorer:
             data, tgt, mask, _, plan = self._build_rows(
                 rows, 1, T, G * N, want_ce_mask=False,
                 t_offs=t_offs, seg_ids=seg_ids)
-            idx, seg, n = plan
+            idx, seg, n = self._plan_args_packed(T, G, N, plan)
             out, carry = self._packed_step(
                 self.params, jnp.asarray(data[0]), jnp.asarray(tgt[0]),
                 jnp.asarray(mask[0]), jnp.asarray(reset_np), carry,
-                G, N, U * G * N,
-                jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32),
+                Gl, N, U * Gl * N,
+                idx, seg, n,
             )
             pending.append((out, slot_key, U))
 
         for out, slot_key, U in pending:
-            o = np.asarray(out).reshape(U, G, N)
+            # mesh: shard s holds chains [s*Gl, (s+1)*Gl) -> (dp, U, Gl, N)
+            o = np.asarray(out).reshape(self._dp, U, Gl, N)
             for (u, g), k in slot_key.items():
                 for i in range(len(nbest[k])):
-                    scores[(k, i)] = float(o[u, g, i])
+                    scores[(k, i)] = float(o[g // Gl, u, g % Gl, i])
         return self._assemble(nbest, scores)
 
     def _score_carry(self, nbest, word2idx, stream_fn=None, enc_all=None):

@@ -421,3 +421,55 @@ def test_ragged_window_gspmd_mesh(tmp_path):
     state = trainer.run_epoch(state, rows, jax.random.key(0), log=lambda *a: None)
     leaves = jax.tree.leaves(jax.device_get(state.params))
     assert all(np.isfinite(l).all() for l in leaves)
+
+
+def test_sharded_packed_carry_matches_single_device(monkeypatch):
+    """The packed-time carry-over layout dp-shards across chains (contiguous
+    column blocks, one full packed impl per shard) and reproduces the
+    single-device packed scores exactly (interpret-mode fused CE)."""
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.ops import ce_pallas as cp
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+
+    rng = np.random.default_rng(4)
+    nbest = OrderedDict()
+    for r in range(5):  # 5 chains -> padded to 8 shards; uneven lengths
+        for u in range(2 + r % 2):
+            nbest[f"rec{r}_utt{u}"] = [
+                " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(2, 9)))
+                for _ in range(3)
+            ]
+    stream = lambda k: k.split("_")[0]
+    rc = RescoreConfig(carry_over=True, max_hyp_len=16, carry_chunk_utts=2)
+
+    single = BatchScorer(cfg, params, rc)
+    single.use_fused_ce = True
+    assert single._packed_allowed()
+    ref = single.score_nbest(nbest, w2i, stream_fn=stream)
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = BatchScorer(cfg, params, rc, mesh=mesh)
+    sharded.use_fused_ce = True
+    assert sharded._packed_allowed()
+    got = sharded.score_nbest(nbest, w2i, stream_fn=stream)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-5, atol=1e-6, err_msg=k)
