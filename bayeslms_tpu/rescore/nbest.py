@@ -62,10 +62,15 @@ def encode_hyp(
         words = words[::-1]
     ctx_words = context.split()[-splice_len:] if (context and splice_len) else []
     unk_id = word2idx.get(unk, 0)
-    ids = [word2idx.get(w, unk_id) for w in words]
-    ctx_ids = [word2idx.get(w, unk_id) for w in ctx_words]
+    # single pass: -1 marks OOV (vocab ids are non-negative), so the OOV
+    # tally doesn't pay a second full dict scan
+    ids = [word2idx.get(w, -1) for w in words]
+    ctx_ids = [word2idx.get(w, -1) for w in ctx_words]
+    n_oov = ids.count(-1) + ctx_ids.count(-1)
+    if n_oov:
+        ids = [unk_id if i < 0 else i for i in ids]
+        ctx_ids = [unk_id if i < 0 else i for i in ctx_ids]
     bos_id = word2idx.get(bos, 0)
-    n_oov = sum(1 for w in ctx_words + words if w not in word2idx)
     inp = [bos_id] + ctx_ids + ids
     tgt = ctx_ids + ids + [bos_id]
     return inp, tgt, len(ctx_ids), n_oov

@@ -262,3 +262,24 @@ def test_packed_carry_matches_slotted(monkeypatch, extra):
         np.testing.assert_allclose(
             [s for _, s in got[k]], [s for _, s in ref[k]],
             rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_encode_hyp_oov_semantics():
+    """OOV tally counts words absent from the vocab (a literal <unk> token
+    is IN-vocabulary, `…copy.py`:123-144); ids map OOVs to <unk>; the
+    single-pass sentinel implementation preserves these exactly."""
+    from bayeslms_tpu.rescore.nbest import encode_hyp
+
+    w2i = {"<s>": 1, "<unk>": 0, "a": 2, "b": 3, "c": 4, "dd": 5}
+    inp, tgt, nc, oov = encode_hyp("a zz <unk> c", w2i)
+    assert inp == [1, 2, 0, 0, 4] and tgt == [2, 0, 0, 4, 1]
+    assert nc == 0 and oov == 1  # zz only; literal <unk> is in-vocab
+    # spliced context contributes to the tally; n_ctx counts its positions
+    inp, tgt, nc, oov = encode_hyp("b", w2i, context="qq a", splice_len=2)
+    assert nc == 2 and oov == 1 and inp == [1, 0, 2, 3]
+    # backward reverses hypothesis words only
+    inp, _, _, _ = encode_hyp("a b c", w2i, backward=True)
+    assert inp == [1, 4, 3, 2]
+    # empty hypothesis
+    inp, tgt, nc, oov = encode_hyp("", w2i)
+    assert inp == [1] and tgt == [1] and oov == 0
