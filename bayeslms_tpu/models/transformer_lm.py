@@ -397,7 +397,7 @@ class TransformerLM(nn.Module):
 
     def __call__(self, tokens, deterministic: bool = True, mems=None,
                  mem_len=None, return_mems: bool = False,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False, positions=None, pack_mask=None):
         """tokens: (T, B) int32 -> logits (T, B, V).
 
         ``mems``: optional per-layer list of (M, B, E) segment memories
@@ -413,11 +413,22 @@ class TransformerLM(nn.Module):
         masked out of attention and excluded from the position offset.
         ``return_mems`` additionally returns the new per-layer memories
         (this segment's layer inputs) for the next call.
+
+        ``positions`` (T, B) int32 + ``pack_mask`` (B, 1, T, T) additive:
+        sequence-PACKED scoring — several independent hypotheses share one
+        time axis per column; positions restart at each segment and the
+        mask must encode causal-within-segment (the packed rescorer,
+        rescore/scorer.py). Incompatible with mems.
         """
         cfg = self.cfg
         T = tokens.shape[0]
         dtype = jnp.dtype(cfg.compute_dtype)
-        if mems is not None:
+        if pack_mask is not None:
+            if mems is not None:
+                raise ValueError("pack_mask is incompatible with mems")
+            mask = pack_mask
+            pos_offset = None
+        elif mems is not None:
             M = mems[0].shape[0]
             ml = (
                 jnp.asarray(M, jnp.int32)
@@ -445,7 +456,9 @@ class TransformerLM(nn.Module):
                 w = w + gaussian.sample_diff(self.make_rng("sample"), self.embed_lgstd)
             x = x @ w.T.astype(dtype)
 
-        if pos_offset is None:
+        if positions is not None:
+            x = x + jnp.take(self.pe, positions, axis=0).astype(dtype)
+        elif pos_offset is None:
             x = x + self.pe[:T, None, :].astype(dtype)
         else:
             pe = jax.lax.dynamic_slice_in_dim(self.pe, pos_offset, T, axis=0)

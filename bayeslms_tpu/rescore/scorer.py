@@ -194,6 +194,7 @@ class BatchScorer:
             self._bucket_step = jax.jit(self._bucket_chunk_impl)
             self._packed_step = jax.jit(
                 self._packed_carry_impl, static_argnums=(6, 7, 8))
+        self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(5,))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -650,8 +651,122 @@ class BatchScorer:
         _, scores = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
         return scores  # (n, B)
 
+    # -- sequence-PACKED transformer scoring: several hypotheses share one
+    # time-axis column (best-fit-decreasing bin packing), positions restart
+    # per segment, and attention is causal-within-segment via an additive
+    # (B, 1, T, T) mask. Removes the ~1.3-1.4x bucket-padding waste the
+    # per-hypothesis layout pays on every FFN/attention matmul, and compiles
+    # ONE shape instead of one per length bucket.
+    def _tm_packed_impl(self, params, data, tgt, segs, positions,
+                        n_seg: int, idx, seg, n_real):
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        T = data.shape[1]
+        tril = jnp.tril(jnp.ones((T, T), bool))
+        eye = jnp.eye(T, dtype=bool)
+
+        def body(_, inp):
+            d, sg, pos = inp
+            sq = sg.astype(jnp.int32).T  # (B, T)
+            same = sq[:, :, None] == sq[:, None, :]
+            # causal within one's own segment; padding (seg 0) rows attend
+            # themselves so their (discarded) softmax stays finite
+            valid = (same & tril[None]) | eye[None]
+            m = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+            h = self.model.apply(
+                {"params": params}, d, deterministic=True, return_hidden=True,
+                positions=pos.astype(jnp.int32), pack_mask=m,
+            )
+            return None, h
+
+        _, hs = jax.lax.scan(body, None, (data, segs, positions))
+        return self._fused_scores_packed(
+            params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
+            idx, seg, n_real, n_seg,
+        )
+
+    def _tm_packed_allowed(self) -> bool:
+        rc = self.rcfg
+        return (
+            self.is_tm
+            and self.use_fused_ce
+            and self.mesh is None
+            and rc.mc_samples == 0
+            and not rc.xl_mems
+            and self.interp == 0
+            and os.environ.get("BAYESLM_PACKED_TM", "1") != "0"
+        )
+
+    def _score_packed_tm(self, nbest, enc_all):
+        import bisect
+
+        rc = self.rcfg
+        items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
+        for key, hyps in nbest.items():
+            for i, (x, y, nc, _) in enumerate(enc_all[key]):
+                items.append((key, i, x, y, nc))
+        if not items:
+            return self._assemble(nbest, {})
+        # same truncation as the bucketed path: the last bucket boundary is
+        # max_hyp_len, so over-long hypotheses score their first max_hyp_len
+        # tokens in both layouts
+        cap = rc.max_hyp_len
+        items = [(k, i, x[:cap], y[:cap], nc) for (k, i, x, y, nc) in items]
+        T = max(128, -(-(rc.max_hyp_len + 2) // 64) * 64)
+        # best-fit decreasing: place each hypothesis in the open column with
+        # the smallest sufficient remaining capacity
+        order = sorted(range(len(items)), key=lambda i: -len(items[i][2]))
+        rems: list = []  # sorted (remaining, col)
+        n_cols = 0
+        place = {}  # item index -> (col, t_off, slot)
+        fills = []  # per-col (used, n_slots)
+        for i in order:
+            L = min(len(items[i][2]), T)
+            j = bisect.bisect_left(rems, (L, -1))
+            if j < len(rems):
+                r, col = rems.pop(j)
+            else:
+                r, col = T, n_cols
+                n_cols += 1
+                fills.append([0, 0])
+            used, slot = fills[col]
+            place[i] = (col, used, slot)
+            fills[col] = [used + L, slot + 1]
+            if r - L > 0:
+                bisect.insort(rems, (r - L, col))
+        # columns per device-call batch: ~6k real+pad tokens each (the
+        # bucketed path's measured sweet spot at this geometry)
+        Bc = max(8, -(-rc.batch_size * 24 // T // 8) * 8)
+        n = -(-n_cols // Bc)
+        rows, t_offs, seg_ids = [], [], []
+        segs_np = np.zeros((n, T, Bc), np.int16)
+        pos_np = np.zeros((n, T, Bc), np.int16)
+        for i, it in enumerate(items):
+            col, off, slot = place[i]
+            r, c = col // Bc, col % Bc
+            L = min(len(it[2]), T)
+            rows.append((r, c, it[2], it[3], it[4]))
+            t_offs.append(off)
+            seg_ids.append(i)
+            segs_np[r, off : off + L, c] = slot + 1
+            pos_np[r, off : off + L, c] = np.arange(L, dtype=np.int16)
+        data, tgt, _, _, plan = self._build_rows(
+            rows, n, T, Bc, want_ce_mask=False,
+            t_offs=t_offs, seg_ids=seg_ids)
+        idx, seg, n_real = plan
+        n_seg = -(-len(items) // 1024) * 1024  # bounded jit-key buckets
+        out = np.asarray(self._tm_packed_step(
+            self.params, jnp.asarray(data), jnp.asarray(tgt),
+            jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg,
+            jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n_real, jnp.int32),
+        ))
+        scores = {(it[0], it[1]): float(out[i]) for i, it in enumerate(items)}
+        return self._assemble(nbest, scores)
+
     # -- global length-bucketed batching (transformer / no carry-over)
     def _score_bucketed(self, nbest, word2idx, enc_all):
+        if self._tm_packed_allowed():
+            return self._score_packed_tm(nbest, enc_all)
         rc = self.rcfg
         items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
         for key, hyps in nbest.items():

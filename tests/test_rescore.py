@@ -283,3 +283,51 @@ def test_encode_hyp_oov_semantics():
     # empty hypothesis
     inp, tgt, nc, oov = encode_hyp("", w2i)
     assert inp == [1] and tgt == [1] and oov == 0
+
+
+@pytest.mark.parametrize("extra", [
+    dict(),
+    dict(uncertainty="Bayesian", t_bayes_pos="FFN"),
+    dict(uncertainty="Gaussian", t_gauss_pos=3),
+    dict(uncertainty="Variational", t_v_pos=1),
+])
+def test_packed_tm_matches_bucketed(monkeypatch, extra):
+    """Sequence-packed transformer scoring (several hyps per time column,
+    per-segment positions, causal-within-segment mask) == the per-hypothesis
+    bucketed path, across encoder-layer families (interpret-mode fused CE)."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=16, nhid=32,
+                      nlayers=2, nhead=2, dropout=0.0, **extra)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(11)
+    nbest = OrderedDict()
+    for u in range(6):
+        nbest[f"u{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 20)))
+            for _ in range(3 + u % 2)
+        ]
+    nbest["u_long"] = [" ".join(f"w{rng.integers(2, V)}" for _ in range(40))]
+
+    rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=4)
+    plain = BatchScorer(cfg, params, rc)
+    assert not plain._tm_packed_allowed()  # CPU gate (fused CE off)
+    ref = plain.score_nbest(nbest, w2i)
+
+    packed = BatchScorer(cfg, params, rc)
+    packed.use_fused_ce = True
+    assert packed._tm_packed_allowed()
+    got = packed.score_nbest(nbest, w2i)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-4, err_msg=k)
