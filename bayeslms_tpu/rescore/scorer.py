@@ -188,13 +188,37 @@ class BatchScorer:
                 return f(params, data, tgt, mask, reset, h1, idx, seg, n_real)
 
             self._packed_step = jax.jit(packed_sharded, static_argnums=(6, 7, 8))
+
+            def tm_packed_sharded(params, data, tgt, segs, positions,
+                                  n_seg_l, idx, seg, n_real):
+                """Sequence-packed TM scoring over a dp mesh: packed columns
+                split across shards; each shard runs the full packed impl on
+                its local columns with a shard-local gather plan (seg ids are
+                per-shard item ranks). n_seg_l is the PER-SHARD (padded)
+                segment count."""
+                b4 = P(None, None, "dp")  # (n, T, Bc) column blocks
+
+                def body(p, d, t, sg, pos, i_, s_, n_):
+                    return self._tm_packed_impl(
+                        p, d, t, sg, pos, n_seg_l, i_[0], s_[0], n_[0])
+
+                f = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), b4, b4, b4, b4,
+                              P("dp", None), P("dp", None), P("dp")),
+                    out_specs=P("dp"),
+                    check_vma=False,
+                )
+                return f(params, data, tgt, segs, positions, idx, seg, n_real)
+
+            self._tm_packed_step = jax.jit(tm_packed_sharded, static_argnums=(5,))
         else:
             self._dp = 1
             self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
             self._bucket_step = jax.jit(self._bucket_chunk_impl)
             self._packed_step = jax.jit(
                 self._packed_carry_impl, static_argnums=(6, 7, 8))
-        self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(5,))
+            self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(5,))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -690,7 +714,6 @@ class BatchScorer:
         return (
             self.is_tm
             and self.use_fused_ce
-            and self.mesh is None
             and rc.mc_samples == 0
             and not rc.xl_mems
             and self.interp == 0
@@ -735,9 +758,21 @@ class BatchScorer:
             if r - L > 0:
                 bisect.insort(rems, (r - L, col))
         # columns per device-call batch: ~6k real+pad tokens each (the
-        # bucketed path's measured sweet spot at this geometry)
+        # bucketed path's measured sweet spot at this geometry); under a
+        # mesh, columns split across dp shards in contiguous blocks
+        dp = self._dp
         Bc = max(8, -(-rc.batch_size * 24 // T // 8) * 8)
+        Bc = -(-Bc // dp) * dp
+        Bl = Bc // dp
         n = -(-n_cols // Bc)
+        # per-shard item ranks: shard-local contiguous segment ids so each
+        # shard's fused-CE segment_sum writes a dense (n_seg_l,) vector
+        ranks, counts = [], [0] * dp
+        for i in range(len(items)):
+            s_ = (place[i][0] % Bc) // Bl
+            ranks.append((s_, counts[s_]))
+            counts[s_] += 1
+        n_seg_l = -(-max(max(counts), 1) // 1024) * 1024  # bounded jit keys
         rows, t_offs, seg_ids = [], [], []
         segs_np = np.zeros((n, T, Bc), np.int16)
         pos_np = np.zeros((n, T, Bc), np.int16)
@@ -747,20 +782,46 @@ class BatchScorer:
             L = min(len(it[2]), T)
             rows.append((r, c, it[2], it[3], it[4]))
             t_offs.append(off)
-            seg_ids.append(i)
+            s_, k_ = ranks[i]
+            seg_ids.append(s_ * n_seg_l + k_)
             segs_np[r, off : off + L, c] = slot + 1
             pos_np[r, off : off + L, c] = np.arange(L, dtype=np.int16)
         data, tgt, _, _, plan = self._build_rows(
             rows, n, T, Bc, want_ce_mask=False,
             t_offs=t_offs, seg_ids=seg_ids)
-        idx, seg, n_real = plan
-        n_seg = -(-len(items) // 1024) * 1024  # bounded jit-key buckets
+        if dp == 1:
+            idx, seg, n_real = (jnp.asarray(plan[0]), jnp.asarray(plan[1]),
+                                jnp.asarray(plan[2], jnp.int32))
+        else:
+            # re-localize the global plan per column-block shard
+            gidx, gseg, gn = plan
+            gidx = gidx[:gn].astype(np.int64)
+            gseg = gseg[:gn].astype(np.int64)
+            col = gidx % Bc
+            s_v = col // Bl
+            rt = gidx // Bc
+            packs = []
+            for s_ in range(dp):
+                m = s_v == s_
+                packs.append(self._pack_plan(
+                    rt[m] * Bl + (col[m] - s_ * Bl),
+                    gseg[m] - s_ * n_seg_l, n * T * Bl))
+            K = max(p[0].shape[0] for p in packs)
+            idx2 = np.zeros((dp, K), np.int32)
+            seg2 = np.zeros((dp, K), np.int32)
+            nn = np.zeros((dp,), np.int32)
+            for s_, (i_, sg_, n_) in enumerate(packs):
+                idx2[s_, : len(i_)], seg2[s_, : len(sg_)], nn[s_] = i_, sg_, n_
+            idx, seg, n_real = jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
         out = np.asarray(self._tm_packed_step(
             self.params, jnp.asarray(data), jnp.asarray(tgt),
-            jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg,
-            jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n_real, jnp.int32),
-        ))
-        scores = {(it[0], it[1]): float(out[i]) for i, it in enumerate(items)}
+            jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg_l,
+            idx, seg, n_real,
+        )).reshape(dp, n_seg_l)
+        scores = {}
+        for i, it in enumerate(items):
+            s_, k_ = ranks[i]
+            scores[(it[0], it[1])] = float(out[s_, k_])
         return self._assemble(nbest, scores)
 
     # -- global length-bucketed batching (transformer / no carry-over)

@@ -473,3 +473,53 @@ def test_sharded_packed_carry_matches_single_device(monkeypatch):
         np.testing.assert_allclose(
             [s for _, s in got[k]], [s for _, s in ref[k]],
             rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_sharded_packed_tm_matches_single_device(monkeypatch):
+    """Sequence-packed transformer scoring dp-shards across packed columns
+    and reproduces the single-device packed scores exactly (interpret-mode
+    fused CE)."""
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from bayeslms_tpu import ModelConfig, RescoreConfig, build_model, init_params
+    from bayeslms_tpu.ops import ce_pallas as cp
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.rescore.scorer import BatchScorer
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=16, nhid=32,
+                      nlayers=2, nhead=2, dropout=0.0)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(9)
+    nbest = OrderedDict()
+    for u in range(12):
+        nbest[f"u{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 20)))
+            for _ in range(4)
+        ]
+
+    rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=16)
+    single = BatchScorer(cfg, params, rc)
+    single.use_fused_ce = True
+    assert single._tm_packed_allowed()
+    ref = single.score_nbest(nbest, w2i)
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = BatchScorer(cfg, params, rc, mesh=mesh)
+    sharded.use_fused_ce = True
+    assert sharded._tm_packed_allowed()
+    got = sharded.score_nbest(nbest, w2i)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-5, atol=1e-6, err_msg=k)
