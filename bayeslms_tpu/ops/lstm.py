@@ -59,9 +59,14 @@ def lstm_cell_step(h, c, xg_t, w_hh_t, b_hh):
 def _apply_reset(state, r_t, reset_src):
     """At packed utterance boundaries, replace each column's state with its
     reset source column's state (the chain's first hypothesis, whose frozen
-    state is the exact carry-over state at its true length)."""
+    state is the exact carry-over state at its true length). Source -1 means
+    ZERO state (independent segments, the no-carry packed layout) — the
+    Pallas kernels get this for free because a -1 source builds an all-zero
+    selection-matrix row."""
     r = r_t[:, None].astype(state.dtype)
-    return (1.0 - r) * state + r * jnp.take(state, reset_src, axis=0)
+    src = jnp.take(state, jnp.maximum(reset_src, 0), axis=0)
+    src = src * (reset_src >= 0).astype(state.dtype)[:, None]
+    return (1.0 - r) * state + r * src
 
 
 def lstm_layer(

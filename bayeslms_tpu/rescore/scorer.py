@@ -212,6 +212,27 @@ class BatchScorer:
                 return f(params, data, tgt, segs, positions, idx, seg, n_real)
 
             self._tm_packed_step = jax.jit(tm_packed_sharded, static_argnums=(5,))
+
+            def rnn_packed_sharded(params, data, tgt, mask, reset,
+                                   n_seg_l, idx, seg, n_real):
+                """No-carry packed recurrent scoring over a dp mesh — same
+                column sharding as tm_packed_sharded."""
+                b4 = P(None, None, "dp")
+
+                def body(p, d, t, m, r, i_, s_, n_):
+                    return self._rnn_packed_impl(
+                        p, d, t, m, r, n_seg_l, i_[0], s_[0], n_[0])
+
+                f = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), b4, b4, b4, b4,
+                              P("dp", None), P("dp", None), P("dp")),
+                    out_specs=P("dp"),
+                    check_vma=False,
+                )
+                return f(params, data, tgt, mask, reset, idx, seg, n_real)
+
+            self._rnn_packed_step = jax.jit(rnn_packed_sharded, static_argnums=(5,))
         else:
             self._dp = 1
             self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
@@ -219,6 +240,7 @@ class BatchScorer:
             self._packed_step = jax.jit(
                 self._packed_carry_impl, static_argnums=(6, 7, 8))
             self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(5,))
+            self._rnn_packed_step = jax.jit(self._rnn_packed_impl, static_argnums=(5,))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -709,18 +731,47 @@ class BatchScorer:
             idx, seg, n_real, n_seg,
         )
 
-    def _tm_packed_allowed(self) -> bool:
+    # -- the recurrent no-carry twin: independent hypotheses share packed
+    # columns with ZERO-state resets at segment starts (reset_src = -1
+    # builds an all-zero selection-matrix row in the Pallas reset kernels,
+    # so a reset reads zeros instead of a chain-source state).
+    def _rnn_packed_impl(self, params, data, tgt, mask, reset,
+                         n_seg: int, idx, seg, n_real):
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        mask = mask.astype(jnp.float32)
+        reset = reset.astype(jnp.float32)
+        B = data.shape[2]
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
+        src = jnp.full((B,), -1, jnp.int32)
+
+        def body(_, inp):
+            d, m, r = inp
+            h, _ = self.model.apply(
+                {"params": params}, d, h0, deterministic=True,
+                step_mask=m, reset_mask=r, reset_src=src, return_hidden=True,
+            )
+            return None, h
+
+        _, hs = jax.lax.scan(body, None, (data, mask, reset))
+        return self._fused_scores_packed(
+            params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
+            idx, seg, n_real, n_seg,
+        )
+
+    def _packed_nocarry_allowed(self) -> bool:
         rc = self.rcfg
+        env = "BAYESLM_PACKED_TM" if self.is_tm else "BAYESLM_PACKED_NOCARRY"
         return (
-            self.is_tm
-            and self.use_fused_ce
+            self.use_fused_ce
             and rc.mc_samples == 0
             and not rc.xl_mems
             and self.interp == 0
-            and os.environ.get("BAYESLM_PACKED_TM", "1") != "0"
+            and os.environ.get(env, "1") != "0"
         )
 
-    def _score_packed_tm(self, nbest, enc_all):
+    def _score_packed_nocarry(self, nbest, enc_all):
         import bisect
 
         rc = self.rcfg
@@ -774,8 +825,11 @@ class BatchScorer:
             counts[s_] += 1
         n_seg_l = -(-max(max(counts), 1) // 1024) * 1024  # bounded jit keys
         rows, t_offs, seg_ids = [], [], []
-        segs_np = np.zeros((n, T, Bc), np.int16)
-        pos_np = np.zeros((n, T, Bc), np.int16)
+        if self.is_tm:
+            segs_np = np.zeros((n, T, Bc), np.int16)
+            pos_np = np.zeros((n, T, Bc), np.int16)
+        else:
+            rst_np = np.zeros((n, T, Bc), np.uint8)
         for i, it in enumerate(items):
             col, off, slot = place[i]
             r, c = col // Bc, col % Bc
@@ -784,9 +838,12 @@ class BatchScorer:
             t_offs.append(off)
             s_, k_ = ranks[i]
             seg_ids.append(s_ * n_seg_l + k_)
-            segs_np[r, off : off + L, c] = slot + 1
-            pos_np[r, off : off + L, c] = np.arange(L, dtype=np.int16)
-        data, tgt, _, _, plan = self._build_rows(
+            if self.is_tm:
+                segs_np[r, off : off + L, c] = slot + 1
+                pos_np[r, off : off + L, c] = np.arange(L, dtype=np.int16)
+            elif off > 0:
+                rst_np[r, off, c] = 1  # zero-state reset at the segment start
+        data, tgt, mask, _, plan = self._build_rows(
             rows, n, T, Bc, want_ce_mask=False,
             t_offs=t_offs, seg_ids=seg_ids)
         if dp == 1:
@@ -813,11 +870,17 @@ class BatchScorer:
             for s_, (i_, sg_, n_) in enumerate(packs):
                 idx2[s_, : len(i_)], seg2[s_, : len(sg_)], nn[s_] = i_, sg_, n_
             idx, seg, n_real = jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
-        out = np.asarray(self._tm_packed_step(
-            self.params, jnp.asarray(data), jnp.asarray(tgt),
-            jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg_l,
-            idx, seg, n_real,
-        )).reshape(dp, n_seg_l)
+        if self.is_tm:
+            out = self._tm_packed_step(
+                self.params, jnp.asarray(data), jnp.asarray(tgt),
+                jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg_l,
+                idx, seg, n_real)
+        else:
+            out = self._rnn_packed_step(
+                self.params, jnp.asarray(data), jnp.asarray(tgt),
+                jnp.asarray(mask), jnp.asarray(rst_np), n_seg_l,
+                idx, seg, n_real)
+        out = np.asarray(out).reshape(dp, n_seg_l)
         scores = {}
         for i, it in enumerate(items):
             s_, k_ = ranks[i]
@@ -826,8 +889,8 @@ class BatchScorer:
 
     # -- global length-bucketed batching (transformer / no carry-over)
     def _score_bucketed(self, nbest, word2idx, enc_all):
-        if self._tm_packed_allowed():
-            return self._score_packed_tm(nbest, enc_all)
+        if self._packed_nocarry_allowed():
+            return self._score_packed_nocarry(nbest, enc_all)
         rc = self.rcfg
         items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
         for key, hyps in nbest.items():

@@ -511,13 +511,13 @@ def test_sharded_packed_tm_matches_single_device(monkeypatch):
     rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=16)
     single = BatchScorer(cfg, params, rc)
     single.use_fused_ce = True
-    assert single._tm_packed_allowed()
+    assert single._packed_nocarry_allowed()
     ref = single.score_nbest(nbest, w2i)
 
     mesh = make_mesh(dp=8, tp=1)
     sharded = BatchScorer(cfg, params, rc, mesh=mesh)
     sharded.use_fused_ce = True
-    assert sharded._tm_packed_allowed()
+    assert sharded._packed_nocarry_allowed()
     got = sharded.score_nbest(nbest, w2i)
     for k in nbest:
         np.testing.assert_allclose(

@@ -330,3 +330,40 @@ def test_fused2_vmem_budget():
         <= int(0.9 * lp._VMEM_LIMIT)
     assert lp._est_vmem2(1, 4096, 1024, lp._ROWS2_TRAIN_BWD * 1024, s) \
         > int(0.9 * lp._VMEM_LIMIT)
+
+
+def test_pallas_zero_reset_matches_scan():
+    """reset_src = -1 (zero-state reset, the no-carry packed layout): the
+    kernel's all-zero selection-matrix row == the scan path's masked gather;
+    a column's state after the reset equals a fresh-start run."""
+    T, B, IN, H = 12, 8, 16, 16
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(T, B, IN)).astype(np.float32))
+    p = LSTMParams(
+        w_ih=jnp.asarray(rng.normal(size=(4 * H, IN)).astype(np.float32) * 0.1),
+        w_hh=jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * 0.1),
+        b_ih=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+        b_hh=jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * 0.1),
+    )
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    mask = jnp.asarray(np.ones((T, B), np.float32))
+    reset = np.zeros((T, B), np.float32)
+    reset[5, :] = 1.0
+    reset_j = jnp.asarray(reset)
+    src = jnp.full((B,), -1, jnp.int32)
+
+    ys_ref, hT_ref, cT_ref = lstm_layer(
+        x, h0, c0, p, step_mask=mask, reset_mask=reset_j, reset_src=src)
+    ys, hT, cT = lp.lstm_layer_pallas(
+        x, h0, c0, p.w_ih, p.w_hh, p.b_ih, p.b_hh, mask,
+        reset_mask=reset_j, reset_src=src)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), rtol=1e-5, atol=1e-5)
+
+    # semantic: from the zero-reset at t=5 the run equals a fresh run on x[5:]
+    zero = jnp.zeros((B, H), jnp.float32)
+    ys_fresh, _, _ = lstm_layer(x[5:], zero, zero, p, step_mask=mask[5:])
+    np.testing.assert_allclose(np.asarray(ys)[5:], np.asarray(ys_fresh),
+                               rtol=1e-5, atol=1e-5)

@@ -320,12 +320,61 @@ def test_packed_tm_matches_bucketed(monkeypatch, extra):
 
     rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=4)
     plain = BatchScorer(cfg, params, rc)
-    assert not plain._tm_packed_allowed()  # CPU gate (fused CE off)
+    assert not plain._packed_nocarry_allowed()  # CPU gate (fused CE off)
     ref = plain.score_nbest(nbest, w2i)
 
     packed = BatchScorer(cfg, params, rc)
     packed.use_fused_ce = True
-    assert packed._tm_packed_allowed()
+    assert packed._packed_nocarry_allowed()
+    got = packed.score_nbest(nbest, w2i)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("extra", [
+    dict(),
+    dict(uncertainty="Bayesian", l_bayes_pos=3),
+    dict(uncertainty="Gaussian", l_gauss_pos="13"),
+    dict(model="GRU"),
+])
+def test_packed_nocarry_rnn_matches_bucketed(monkeypatch, extra):
+    """No-carry recurrent scoring via the packed layout (independent
+    hypotheses share time columns, ZERO-state resets at segment starts) ==
+    the per-hypothesis bucketed path (interpret-mode fused CE)."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    kw = dict(model="LSTM", vocab_size=V, emsize=16, nhid=16, dropout=0.0)
+    kw.update(extra)
+    cfg = ModelConfig(**kw)
+    model = build_model(cfg)
+    params = init_params(model, cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(13)
+    nbest = OrderedDict()
+    for u in range(6):
+        nbest[f"u{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 20)))
+            for _ in range(3)
+        ]
+    nbest["u_long"] = [" ".join(f"w{rng.integers(2, V)}" for _ in range(40))]
+
+    rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=4)
+    plain = BatchScorer(cfg, params, rc)
+    assert not plain._packed_nocarry_allowed()
+    ref = plain.score_nbest(nbest, w2i)
+
+    packed = BatchScorer(cfg, params, rc)
+    packed.use_fused_ce = True
+    assert packed._packed_nocarry_allowed()
     got = packed.score_nbest(nbest, w2i)
     for k in nbest:
         np.testing.assert_allclose(
