@@ -31,6 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False
 
+# Scoped-VMEM ceiling requested from Mosaic (v5e has 128 MB VMEM/core; the
+# default 16 MB cap is exceeded once the contraction dim grows past ~1024 —
+# e.g. the fused INTERPOLATED decode concatenates both models' hiddens, so
+# D = D1 + D2 = 2048 at the flagship geometry and the double-buffered
+# (BM, D) + (BV, D) tiles alone need ~16.5 MB).
+_VMEM_LIMIT = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 _BM = 1024  # token-tile rows
 _BV = 1024  # vocab-tile columns
 
@@ -96,6 +104,7 @@ def _run(h, emb, bias, tgt, bm: int, bv: int):
             pltpu.VMEM((bm, 1), jnp.float32),  # target logit
         ],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(h, emb, bias, tgt)
     return out[:, 0]
 
@@ -298,6 +307,7 @@ def _run_fwd_stats(h, emb, bias, tgt, bm: int, bv: int):
             pltpu.VMEM((bm, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(h, emb, bias, tgt)
     return ce[:, 0], mx[:, 0], se[:, 0]
 
@@ -322,6 +332,7 @@ def _run_bwd_dh(h, emb, bias, tgt, stats, g, bm: int, bv: int):
         out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
         scratch_shapes=[pltpu.VMEM((bm, D), jnp.float32)],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(h, emb, bias, tgt, stats, g)
 
 
@@ -354,6 +365,7 @@ def _run_bwd_de(h, emb, bias, tgt, stats, g, bm: int, bv: int):
             pltpu.VMEM((1, bv), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(h, emb, bias, tgt, stats, g)
 
 

@@ -65,6 +65,7 @@ class BatchScorer:
         fused single-chip stack per shard via shard_map (fused decode+CE,
         pallas LSTM, flash attention) — see the mesh branch below."""
         self.cfg = cfg
+        self.cfg2 = cfg2 or cfg
         self.rcfg = rcfg
         self.mesh = mesh
         self.oov_stats = {"total": 0, "per_utt": {}}  # set by score_nbest
@@ -73,7 +74,7 @@ class BatchScorer:
         self.interp = rcfg.inter_flag
         if self.interp:
             assert params2 is not None, "interpolation needs a second model"
-            self.model2 = build_model(cfg2 or cfg)
+            self.model2 = build_model(self.cfg2)
             self.params2 = params2
         self.is_tm = cfg.is_transformer
         # Fused decode+CE (ops/ce_pallas.py): the (T, B, V) logits never
@@ -82,15 +83,45 @@ class BatchScorer:
         # them) — a pallas call inside a large scan body explodes
         # remote-compile time. Default ON on TPU (+17% rescoring throughput);
         # opt out with BAYESLM_FUSED_CE=0.
+        #
+        # Interpolation rides the fused kernel too (same-family model pairs):
+        # logit-level (inter_flag=1, ref :157-163) uses the identity
+        #   a*h1@W1' + (1-a)*h2@W2' == [h1, h2] @ concat(a*W1, (1-a)*W2)'
+        # so ONE kernel call over concatenated hiddens scores the
+        # interpolated distribution exactly (the pre-scaled concat decoder is
+        # built once, see _interp_m2); score-level (inter_flag=2,
+        # `…copy.py`:244-264) is two kernel calls combined a*ce1+(1-a)*ce2.
         from ..ops.ce_pallas import fused_ce_ok
 
         dim = cfg.emsize if cfg.is_transformer else cfg.nhid
+        dim2 = self.cfg2.emsize if self.cfg2.is_transformer else self.cfg2.nhid
+        interp_fusable = self.interp == 0 or (
+            self.cfg2.tied
+            and self.cfg2.is_transformer == cfg.is_transformer
+            and self.cfg2.vocab_size == cfg.vocab_size
+            and fused_ce_ok(dim2)
+            and (self.interp != 1 or fused_ce_ok(dim + dim2))
+        )
         self.use_fused_ce = (
             os.environ.get("BAYESLM_FUSED_CE", "1") != "0"
-            and rcfg.inter_flag == 0
+            and interp_fusable
             and rcfg.mc_samples == 0
             and cfg.tied
             and fused_ce_ok(dim)
+        )
+        self._m2_cache = None
+        # Fused MC-average inference: the predictive score only needs the
+        # TARGET token's probability per draw, and the fused CE kernel
+        # already returns -log p_k(target) — so  log p_avg(target) =
+        # logsumexp_k(-ce_k) - log K  target-only, and the (K, T, B, V)
+        # log-softmax stack of the legacy path never materializes.
+        self.use_fused_mc = (
+            os.environ.get("BAYESLM_FUSED_CE", "1") != "0"
+            and rcfg.mc_samples > 0
+            and self.interp == 0
+            and cfg.tied
+            and fused_ce_ok(dim)
+            and mesh is None
         )
         if rcfg.mc_samples > 0:
             # MC-average inference draws posterior samples but must not
@@ -99,6 +130,7 @@ class BatchScorer:
 
             self.mc_model = build_model(_dc.replace(cfg, dropout=0.0))
             self._mc_step = jax.jit(self._mc_impl)
+            self._mc_fused_step = jax.jit(self._mc_fused_impl)
             if rcfg.carry_over and not cfg.is_transformer:
                 raise ValueError("mc_samples requires carry_over=False")
         if mesh is not None:
@@ -118,53 +150,56 @@ class BatchScorer:
             # per-shard gather plans: (dp, K) idx/seg + (dp,) n_real
             pk = (P("dp", None), P("dp", None), P("dp"))
 
-            def carry_sharded(params, params2, data, tgt, mask, ce_mask,
+            def carry_sharded(params, params2, m2, data, tgt, mask, ce_mask,
                               h1, h2, N, *packs):
                 cm_specs = () if ce_mask is None else (b3,)
                 cm_args = () if ce_mask is None else (ce_mask,)
 
-                def body(p, p2, d, t, m, c1, c2, *rest):
+                def body(p, p2, m2_, d, t, m, c1, c2, *rest):
                     cm = rest[0] if cm_args else None
                     pks = rest[len(cm_args):]
                     return self._carry_chunk_impl(
-                        p, p2, d, t, m, cm, c1, c2, N,
+                        p, p2, m2_, d, t, m, cm, c1, c2, N,
                         *(x[0] for x in pks)
                     )
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), P(), b3, b3, b3, h3, h3)
+                    in_specs=(P(), P(), P(), b3, b3, b3, h3, h3)
                     + cm_specs + pk[: len(packs)],
                     out_specs=(P(None, "dp"), h3, h3),
                     check_vma=False,
                 )
-                return f(params, params2, data, tgt, mask, h1, h2,
+                return f(params, params2, m2, data, tgt, mask, h1, h2,
                          *cm_args, *packs)
 
-            def bucket_sharded(params, params2, data, tgt, mask, ce_mask, *packs):
+            def bucket_sharded(params, params2, m2, data, tgt, mask, ce_mask,
+                               *packs):
                 cm_specs = () if ce_mask is None else (b3,)
                 cm_args = () if ce_mask is None else (ce_mask,)
 
-                def body(p, p2, d, t, m, *rest):
+                def body(p, p2, m2_, d, t, m, *rest):
                     cm = rest[0] if cm_args else None
                     pks = rest[len(cm_args):]
                     return self._bucket_chunk_impl(
-                        p, p2, d, t, m, cm, *(x[0] for x in pks)
+                        p, p2, m2_, d, t, m, cm, *(x[0] for x in pks)
                     )
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), P(), b3, b3, b3) + cm_specs + pk[: len(packs)],
+                    in_specs=(P(), P(), P(), b3, b3, b3)
+                    + cm_specs + pk[: len(packs)],
                     out_specs=P(None, "dp"),
                     check_vma=False,
                 )
-                return f(params, params2, data, tgt, mask, *cm_args, *packs)
+                return f(params, params2, m2, data, tgt, mask,
+                         *cm_args, *packs)
 
-            self._carry_step = jax.jit(carry_sharded, static_argnums=(8,))
+            self._carry_step = jax.jit(carry_sharded, static_argnums=(9,))
             self._bucket_step = jax.jit(bucket_sharded)
 
-            def packed_sharded(params, data, tgt, mask, reset, h1,
-                               G_l, N, n_seg_l, idx, seg, n_real):
+            def packed_sharded(params, params2, m2, data, tgt, mask, reset,
+                               h1, h2, G_l, N, n_seg_l, idx, seg, n_real):
                 """Packed-time carry over a dp mesh: chains split as
                 contiguous column blocks (a chain never crosses shards), so
                 each shard runs the FULL packed impl — in-kernel resets,
@@ -173,24 +208,25 @@ class BatchScorer:
                 b2 = P(None, "dp")   # (T, G*N) packed blocks
                 h3 = P(None, "dp", None)
 
-                def body(p, d, t, m, r, c1, i_, s_, n_):
+                def body(p, p2, m2_, d, t, m, r, c1, c2, i_, s_, n_):
                     return self._packed_carry_impl(
-                        p, d, t, m, r, c1, G_l, N, n_seg_l,
+                        p, p2, m2_, d, t, m, r, c1, c2, G_l, N, n_seg_l,
                         i_[0], s_[0], n_[0])
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), b2, b2, b2, b2, h3,
+                    in_specs=(P(), P(), P(), b2, b2, b2, b2, h3, h3,
                               P("dp", None), P("dp", None), P("dp")),
-                    out_specs=(P("dp"), h3),
+                    out_specs=(P("dp"), h3, h3),
                     check_vma=False,
                 )
-                return f(params, data, tgt, mask, reset, h1, idx, seg, n_real)
+                return f(params, params2, m2, data, tgt, mask, reset,
+                         h1, h2, idx, seg, n_real)
 
-            self._packed_step = jax.jit(packed_sharded, static_argnums=(6, 7, 8))
+            self._packed_step = jax.jit(packed_sharded, static_argnums=(9, 10, 11))
 
-            def tm_packed_sharded(params, data, tgt, segs, positions,
-                                  n_seg_l, idx, seg, n_real):
+            def tm_packed_sharded(params, params2, m2, data, tgt, segs,
+                                  positions, n_seg_l, idx, seg, n_real):
                 """Sequence-packed TM scoring over a dp mesh: packed columns
                 split across shards; each shard runs the full packed impl on
                 its local columns with a shard-local gather plan (seg ids are
@@ -198,49 +234,51 @@ class BatchScorer:
                 segment count."""
                 b4 = P(None, None, "dp")  # (n, T, Bc) column blocks
 
-                def body(p, d, t, sg, pos, i_, s_, n_):
+                def body(p, p2, m2_, d, t, sg, pos, i_, s_, n_):
                     return self._tm_packed_impl(
-                        p, d, t, sg, pos, n_seg_l, i_[0], s_[0], n_[0])
+                        p, p2, m2_, d, t, sg, pos, n_seg_l, i_[0], s_[0], n_[0])
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), b4, b4, b4, b4,
+                    in_specs=(P(), P(), P(), b4, b4, b4, b4,
                               P("dp", None), P("dp", None), P("dp")),
                     out_specs=P("dp"),
                     check_vma=False,
                 )
-                return f(params, data, tgt, segs, positions, idx, seg, n_real)
+                return f(params, params2, m2, data, tgt, segs, positions,
+                         idx, seg, n_real)
 
-            self._tm_packed_step = jax.jit(tm_packed_sharded, static_argnums=(5,))
+            self._tm_packed_step = jax.jit(tm_packed_sharded, static_argnums=(7,))
 
-            def rnn_packed_sharded(params, data, tgt, mask, reset,
-                                   n_seg_l, idx, seg, n_real):
+            def rnn_packed_sharded(params, params2, m2, data, tgt, mask,
+                                   reset, n_seg_l, idx, seg, n_real):
                 """No-carry packed recurrent scoring over a dp mesh — same
                 column sharding as tm_packed_sharded."""
                 b4 = P(None, None, "dp")
 
-                def body(p, d, t, m, r, i_, s_, n_):
+                def body(p, p2, m2_, d, t, m, r, i_, s_, n_):
                     return self._rnn_packed_impl(
-                        p, d, t, m, r, n_seg_l, i_[0], s_[0], n_[0])
+                        p, p2, m2_, d, t, m, r, n_seg_l, i_[0], s_[0], n_[0])
 
                 f = jax.shard_map(
                     body, mesh=mesh,
-                    in_specs=(P(), b4, b4, b4, b4,
+                    in_specs=(P(), P(), P(), b4, b4, b4, b4,
                               P("dp", None), P("dp", None), P("dp")),
                     out_specs=P("dp"),
                     check_vma=False,
                 )
-                return f(params, data, tgt, mask, reset, idx, seg, n_real)
+                return f(params, params2, m2, data, tgt, mask, reset,
+                         idx, seg, n_real)
 
-            self._rnn_packed_step = jax.jit(rnn_packed_sharded, static_argnums=(5,))
+            self._rnn_packed_step = jax.jit(rnn_packed_sharded, static_argnums=(7,))
         else:
             self._dp = 1
-            self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(8,))
+            self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(9,))
             self._bucket_step = jax.jit(self._bucket_chunk_impl)
             self._packed_step = jax.jit(
-                self._packed_carry_impl, static_argnums=(6, 7, 8))
-            self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(5,))
-            self._rnn_packed_step = jax.jit(self._rnn_packed_impl, static_argnums=(5,))
+                self._packed_carry_impl, static_argnums=(9, 10, 11))
+            self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(7,))
+            self._rnn_packed_step = jax.jit(self._rnn_packed_impl, static_argnums=(7,))
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -271,16 +309,18 @@ class BatchScorer:
         recurrence steps than per-utterance padded slots. Every recurrent
         core threads reset_mask (standard, Bayes, GP, Gauss-legacy,
         variational). Runs dp-sharded on a mesh (chains split as contiguous
-        column blocks, one full packed impl per shard); XL / MC / interp
-        fall back to the slotted layout."""
+        column blocks, one full packed impl per shard). Interpolated scoring
+        (same-family pairs) rides the packed layout via the fused
+        interpolated decode (use_fused_ce encodes the pair constraints);
+        XL / MC fall back to the slotted layout."""
         cfg, rcfg = self.cfg, self.rcfg
         return (
             rcfg.carry_over
             and not cfg.is_transformer
+            and (self.interp == 0 or not self.cfg2.is_transformer)
             and self.use_fused_ce
             and rcfg.mc_samples == 0
             and not rcfg.xl_mems
-            and self.interp == 0
             and os.environ.get("BAYESLM_PACKED_CARRY", "1") != "0"
         )
 
@@ -290,6 +330,50 @@ class BatchScorer:
         ce = fused_decode_ce(h, params["embedding"], params["decoder_b"], tgt)
         return (ce * mask).sum(axis=0)
 
+    def _interp_m2(self):
+        """Decoder-side constants for fused interpolated CE, built once.
+
+        inter_flag=1 (logit interpolation, ref :157-163): the pre-scaled
+        concatenated decoder ``concat(a*W1, (1-a)*W2)`` (V, D1+D2) + mixed
+        bias, so the interpolated logits are one matmul over concatenated
+        hiddens. Kept in float32 like the stored params; the CE kernel casts
+        to the activation dtype per call (same as the single-model path).
+        inter_flag=2 (score interpolation, `…copy.py`:244-264): just the
+        second model's tied decoder."""
+        if not self.interp:
+            return None
+        if self._m2_cache is None:
+            a = float(self.rcfg.inter_alpha)
+            W1, b1 = self.params["embedding"], self.params["decoder_b"]
+            W2, b2 = self.params2["embedding"], self.params2["decoder_b"]
+            if self.interp == 1:
+                Wcat = jnp.concatenate(
+                    [a * W1.astype(jnp.float32),
+                     (1.0 - a) * W2.astype(jnp.float32)], axis=1)
+                bmix = a * b1.astype(jnp.float32) + (1.0 - a) * b2.astype(
+                    jnp.float32)
+                self._m2_cache = (Wcat, bmix)
+            else:
+                self._m2_cache = (W2, b2)
+        return self._m2_cache
+
+    def _fused_ce_tokens(self, params, m2, hsel, h2sel, tsel):
+        """Per-token CE over gathered real positions; interpolation-aware."""
+        from ..ops.ce_pallas import fused_decode_ce
+
+        if self.interp == 1:
+            hcat = jnp.concatenate([hsel, h2sel.astype(hsel.dtype)], axis=-1)
+            return fused_decode_ce(hcat, m2[0], m2[1], tsel)
+        if self.interp == 2:
+            a = self.rcfg.inter_alpha
+            ce1 = fused_decode_ce(
+                hsel, params["embedding"], params["decoder_b"], tsel)
+            ce2 = fused_decode_ce(
+                h2sel.astype(hsel.dtype), m2[0], m2[1], tsel)
+            return a * ce1 + (1.0 - a) * ce2
+        return fused_decode_ce(
+            hsel, params["embedding"], params["decoder_b"], tsel)
+
     # -- padding-free decode: the vocabulary projection dominates rescoring
     # cost and the padded (T_bucket, B) layout scores ~3-4x more tokens than
     # exist. The host knows the masks, so it sends gather indices of the
@@ -297,12 +381,11 @@ class BatchScorer:
     # the kernel scores only those tokens and a segment-sum assembles
     # per-hypothesis scores. Entries past ``n_real`` are padding (weight 0).
     def _fused_scores_packed(self, params, flat_h, flat_tgt, idx, seg, n_real,
-                             n_seg: int):
-        from ..ops.ce_pallas import fused_decode_ce
-
+                             n_seg: int, flat_h2=None, m2=None):
         hsel = jnp.take(flat_h, idx, axis=0)
         tsel = jnp.take(flat_tgt, idx, axis=0)
-        ce = fused_decode_ce(hsel, params["embedding"], params["decoder_b"], tsel)
+        h2sel = None if flat_h2 is None else jnp.take(flat_h2, idx, axis=0)
+        ce = self._fused_ce_tokens(params, m2, hsel, h2sel, tsel)
         w = (jnp.arange(idx.shape[0]) < n_real).astype(ce.dtype)
         return jax.ops.segment_sum(ce * w, seg, num_segments=n_seg)
 
@@ -498,6 +581,57 @@ class BatchScorer:
         token_lp = jnp.take_along_axis(lp_avg, tgt[..., None], axis=-1)[..., 0]
         return -(token_lp * ce_mask).sum(axis=0)
 
+    def _mc_fused_impl(self, params, data, tgt, step_mask, keys,
+                       idx, seg, n_real):
+        """Fused MC-average predictive scoring over a whole bucket stack.
+
+        data/tgt/step_mask: (n, T, B); keys: (n, K) PRNG keys — row j's draws
+        are split(key(j), K), EXACTLY the legacy per-row path's draws, so the
+        two implementations average the same posterior samples. Per draw k,
+        hidden states for all n rows are collected and the fused CE kernel
+        scores only the real token positions (idx gather plan — this also
+        excludes spliced-context positions from the score, like ce_mask);
+        then  score = -sum_t [logsumexp_k(-ce_{k,t}) - log K]  per segment.
+        The legacy path's (K, T, B, V) log-softmax stack never exists."""
+        from ..ops.ce_pallas import fused_decode_ce
+
+        K = self.rcfg.mc_samples
+        data = data.astype(jnp.int32)
+        tgt = tgt.astype(jnp.int32)
+        step_mask = step_mask.astype(jnp.float32)
+        n, _, B = tgt.shape
+        tsel = jnp.take(tgt.reshape(-1), idx, axis=0)
+        if not self.is_tm:
+            h0 = init_hidden(
+                self.cfg.nlayers, B, self.cfg.nhid,
+                dtype=jnp.dtype(self.cfg.compute_dtype))
+
+        def one(krow):
+            # krow: (n,) keys — the k-th draw of every row
+            def body(_, inp):
+                d, m, kr = inp
+                rngs = {"sample": kr, "dropout": kr}
+                if self.is_tm:
+                    h = self.mc_model.apply(
+                        {"params": params}, d, deterministic=False,
+                        rngs=rngs, return_hidden=True)
+                else:
+                    h, _ = self.mc_model.apply(
+                        {"params": params}, d, h0, deterministic=False,
+                        rngs=rngs, step_mask=m, return_hidden=True)
+                return None, h
+
+            _, hs = jax.lax.scan(body, None, (data, step_mask, krow))
+            hsel = jnp.take(hs.reshape(-1, hs.shape[-1]), idx, axis=0)
+            return fused_decode_ce(
+                hsel, params["embedding"], params["decoder_b"], tsel)
+
+        ces = jax.lax.map(one, keys.T)  # (K, M) = -log p_k(target)
+        lp_avg = jax.scipy.special.logsumexp(-ces, axis=0) - jnp.log(float(K))
+        w = (jnp.arange(idx.shape[0]) < n_real).astype(lp_avg.dtype)
+        return -jax.ops.segment_sum(
+            lp_avg * w, seg, num_segments=n * B).reshape(n, B)
+
     # ------------------------------------------------------------ public API
     def score_nbest(
         self,
@@ -640,44 +774,59 @@ class BatchScorer:
                 last[label] = ids
         return self._assemble(nbest, scores)
 
-    def _bucket_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
+    def _bucket_chunk_impl(self, params, params2, m2, data, tgt, mask, ce_mask,
                            idx=None, seg=None, n_real=None):
         """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
         device call (host round trips cost ~25 ms each through the tunnel).
         ``idx/seg/n_real``: host-computed gather plan of the real token
         positions (fused path only) so the vocab projection never scores
-        padding. Inputs arrive in compact transfer dtypes (uint16/uint8)."""
+        padding. Inputs arrive in compact transfer dtypes (uint16/uint8).
+        ``m2``: fused-interp decoder constants (see _interp_m2)."""
         data = data.astype(jnp.int32)
         tgt = tgt.astype(jnp.int32)
         mask = mask.astype(jnp.float32)
         if ce_mask is not None:
             ce_mask = ce_mask.astype(jnp.float32)
         if self.use_fused_ce:
-            if self.is_tm:
-                def body(_, inp):
-                    d, t, m = inp
-                    h = self.model.apply(
-                        {"params": params}, d, deterministic=True, return_hidden=True
-                    )
-                    return None, h
-            else:
-                B = data.shape[2]
+            B = data.shape[2]
+            if not self.is_tm:
                 cdtype = jnp.dtype(self.cfg.compute_dtype)
                 h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
+            if self.interp and not self.cfg2.is_transformer:
+                h0_2 = init_hidden(
+                    self.cfg2.nlayers, B, self.cfg2.nhid,
+                    dtype=jnp.dtype(self.cfg2.compute_dtype))
 
-                def body(_, inp):
-                    d, t, m = inp
-                    h, _ = self.model.apply(
-                        {"params": params}, d, h0, deterministic=True,
-                        step_mask=m, return_hidden=True,
-                    )
-                    return None, h
+            def one_model(model, is_tm, prms, hinit, d, m):
+                if is_tm:
+                    return model.apply(
+                        {"params": prms}, d, deterministic=True,
+                        return_hidden=True)
+                h, _ = model.apply(
+                    {"params": prms}, d, hinit, deterministic=True,
+                    step_mask=m, return_hidden=True)
+                return h
+
+            def body(_, inp):
+                d, t, m = inp
+                h = one_model(self.model, self.is_tm, params,
+                              None if self.is_tm else h0, d, m)
+                if self.interp:
+                    h2 = one_model(
+                        self.model2, self.cfg2.is_transformer, params2,
+                        None if self.cfg2.is_transformer else h0_2, d, m)
+                    return None, (h, h2)
+                return None, h
 
             _, hs = jax.lax.scan(body, None, (data, tgt, mask))
+            hs2 = None
+            if self.interp:
+                hs, hs2 = hs
+                hs2 = hs2.reshape(-1, hs2.shape[-1])
             n, _, B = tgt.shape
             scores = self._fused_scores_packed(
                 params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, seg, n_real, n * B,
+                idx, seg, n_real, n * B, hs2, m2,
             )
             return scores.reshape(n, B)
         if self.is_tm:
@@ -688,10 +837,13 @@ class BatchScorer:
             B = data.shape[2]
             cdtype = jnp.dtype(self.cfg.compute_dtype)
             h = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
+            cfg2 = self.cfg2 if self.interp else self.cfg
+            h2 = init_hidden(cfg2.nlayers, B, cfg2.nhid,
+                             dtype=jnp.dtype(cfg2.compute_dtype))
 
             def body(_, inp):
                 d, t, m, cm = inp
-                s, _, _ = self._rnn_impl(params, params2, d, t, m, cm, h, h)
+                s, _, _ = self._rnn_impl(params, params2, d, t, m, cm, h, h2)
                 return None, s
 
         _, scores = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
@@ -703,7 +855,7 @@ class BatchScorer:
     # (B, 1, T, T) mask. Removes the ~1.3-1.4x bucket-padding waste the
     # per-hypothesis layout pays on every FFN/attention matmul, and compiles
     # ONE shape instead of one per length bucket.
-    def _tm_packed_impl(self, params, data, tgt, segs, positions,
+    def _tm_packed_impl(self, params, params2, m2, data, tgt, segs, positions,
                         n_seg: int, idx, seg, n_real):
         data = data.astype(jnp.int32)
         tgt = tgt.astype(jnp.int32)
@@ -723,19 +875,30 @@ class BatchScorer:
                 {"params": params}, d, deterministic=True, return_hidden=True,
                 positions=pos.astype(jnp.int32), pack_mask=m,
             )
+            if self.interp:
+                h2 = self.model2.apply(
+                    {"params": params2}, d, deterministic=True,
+                    return_hidden=True,
+                    positions=pos.astype(jnp.int32), pack_mask=m,
+                )
+                return None, (h, h2)
             return None, h
 
         _, hs = jax.lax.scan(body, None, (data, segs, positions))
+        hs2 = None
+        if self.interp:
+            hs, hs2 = hs
+            hs2 = hs2.reshape(-1, hs2.shape[-1])
         return self._fused_scores_packed(
             params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-            idx, seg, n_real, n_seg,
+            idx, seg, n_real, n_seg, hs2, m2,
         )
 
     # -- the recurrent no-carry twin: independent hypotheses share packed
     # columns with ZERO-state resets at segment starts (reset_src = -1
     # builds an all-zero selection-matrix row in the Pallas reset kernels,
     # so a reset reads zeros instead of a chain-source state).
-    def _rnn_packed_impl(self, params, data, tgt, mask, reset,
+    def _rnn_packed_impl(self, params, params2, m2, data, tgt, mask, reset,
                          n_seg: int, idx, seg, n_real):
         data = data.astype(jnp.int32)
         tgt = tgt.astype(jnp.int32)
@@ -745,6 +908,10 @@ class BatchScorer:
         cdtype = jnp.dtype(self.cfg.compute_dtype)
         h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
         src = jnp.full((B,), -1, jnp.int32)
+        if self.interp:
+            h0_2 = init_hidden(
+                self.cfg2.nlayers, B, self.cfg2.nhid,
+                dtype=jnp.dtype(self.cfg2.compute_dtype))
 
         def body(_, inp):
             d, m, r = inp
@@ -752,12 +919,23 @@ class BatchScorer:
                 {"params": params}, d, h0, deterministic=True,
                 step_mask=m, reset_mask=r, reset_src=src, return_hidden=True,
             )
+            if self.interp:
+                h2, _ = self.model2.apply(
+                    {"params": params2}, d, h0_2, deterministic=True,
+                    step_mask=m, reset_mask=r, reset_src=src,
+                    return_hidden=True,
+                )
+                return None, (h, h2)
             return None, h
 
         _, hs = jax.lax.scan(body, None, (data, mask, reset))
+        hs2 = None
+        if self.interp:
+            hs, hs2 = hs
+            hs2 = hs2.reshape(-1, hs2.shape[-1])
         return self._fused_scores_packed(
             params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-            idx, seg, n_real, n_seg,
+            idx, seg, n_real, n_seg, hs2, m2,
         )
 
     def _packed_nocarry_allowed(self) -> bool:
@@ -767,7 +945,8 @@ class BatchScorer:
             self.use_fused_ce
             and rc.mc_samples == 0
             and not rc.xl_mems
-            and self.interp == 0
+            and (self.interp == 0
+                 or self.cfg2.is_transformer == self.cfg.is_transformer)
             and os.environ.get(env, "1") != "0"
         )
 
@@ -870,14 +1049,16 @@ class BatchScorer:
             for s_, (i_, sg_, n_) in enumerate(packs):
                 idx2[s_, : len(i_)], seg2[s_, : len(sg_)], nn[s_] = i_, sg_, n_
             idx, seg, n_real = jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
+        p2 = self.params2 if self.interp else None
+        m2 = self._interp_m2()
         if self.is_tm:
             out = self._tm_packed_step(
-                self.params, jnp.asarray(data), jnp.asarray(tgt),
+                self.params, p2, m2, jnp.asarray(data), jnp.asarray(tgt),
                 jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg_l,
                 idx, seg, n_real)
         else:
             out = self._rnn_packed_step(
-                self.params, jnp.asarray(data), jnp.asarray(tgt),
+                self.params, p2, m2, jnp.asarray(data), jnp.asarray(tgt),
                 jnp.asarray(mask), jnp.asarray(rst_np), n_seg_l,
                 idx, seg, n_real)
         out = np.asarray(out).reshape(dp, n_seg_l)
@@ -903,7 +1084,7 @@ class BatchScorer:
 
         scores: Dict[tuple, float] = {}
         p2 = self.params2 if self.interp else self.params
-        fused = self.use_fused_ce and rc.mc_samples == 0
+        fused = self.use_fused_mc if rc.mc_samples > 0 else self.use_fused_ce
         for T, group in sorted(by_bucket.items()):
             Bc = -(-rc.batch_size // self._dp) * self._dp  # divisible by dp
             n = (len(group) + Bc - 1) // Bc
@@ -913,7 +1094,19 @@ class BatchScorer:
             ]
             data, tgt, mask, ce_mask, plan = self._build_rows(
                 rows, n, T, Bc, want_ce_mask=not fused)
-            if rc.mc_samples > 0:
+            if rc.mc_samples > 0 and self.use_fused_mc:
+                # same draws as the legacy per-row path: row j uses
+                # split(key(j), K)
+                keys = jnp.stack([
+                    jax.random.split(jax.random.key(j), rc.mc_samples)
+                    for j in range(n)
+                ])
+                out = np.asarray(self._mc_fused_step(
+                    self.params, jnp.asarray(data), jnp.asarray(tgt),
+                    jnp.asarray(mask), keys,
+                    *self._plan_args(data.shape, plan),
+                ))
+            elif rc.mc_samples > 0:
                 outs = [
                     self._mc_step(
                         self.params, jnp.asarray(data[j].astype(np.int32)),
@@ -933,7 +1126,8 @@ class BatchScorer:
                     cm = jnp.asarray(ce_mask)
                 out = np.asarray(
                     self._bucket_step(
-                        self.params, p2, jnp.asarray(data), jnp.asarray(tgt),
+                        self.params, p2, self._interp_m2(),
+                        jnp.asarray(data), jnp.asarray(tgt),
                         jnp.asarray(mask), cm, *extra,
                     )
                 )  # (n, Bc)
@@ -949,34 +1143,36 @@ class BatchScorer:
     # sub-ms per-utterance compute. Utterances are padded to a common
     # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
     # carried hidden exact at each hypothesis's true length.
-    def _carry_chunk_impl(self, params, params2, data, tgt, mask, ce_mask,
+    def _carry_chunk_impl(self, params, params2, m2, data, tgt, mask, ce_mask,
                           h1, h2, N: int, idx=None, seg=None, n_real=None):
         """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
         parallel chains of N hypotheses; h1/h2: (layers, G, H) carried;
         idx/seg/n_real: real-token gather plan (fused decode path). Inputs
-        arrive in compact transfer dtypes (uint16/uint8)."""
+        arrive in compact transfer dtypes (uint16/uint8). ``m2``: fused
+        interpolated-decode constants (see _interp_m2)."""
         data = data.astype(jnp.int32)
         tgt = tgt.astype(jnp.int32)
         mask = mask.astype(jnp.float32)
         if ce_mask is not None:
             ce_mask = ce_mask.astype(jnp.float32)
-        L = h1[0].shape[0]
-        G = h1[0].shape[1]
-        H = h1[0].shape[2]
 
+        # shape-agnostic over each carry leaf (the interpolation model may
+        # have a different nlayers/nhid geometry than the main model)
         def bcast(c):
             # (L, G, H) -> (L, G*N, H): each chain's state feeds its N hyps
-            return jax.tree.map(
-                lambda a: jnp.broadcast_to(a[:, :, None, :], (L, G, N, H)).reshape(
-                    L, G * N, H
-                ),
-                c,
-            )
+            def f(a):
+                L_, G_, H_ = a.shape
+                return jnp.broadcast_to(
+                    a[:, :, None, :], (L_, G_, N, H_)).reshape(L_, G_ * N, H_)
+            return jax.tree.map(f, c)
 
         def first_hyp(nh):
             # (L, G*N, H) -> (L, G, H): carry each chain's FIRST hypothesis
             # (ref :261-274)
-            return jax.tree.map(lambda a: a.reshape(L, G, N, H)[:, :, 0, :], nh)
+            def f(a):
+                L_, B_, H_ = a.shape
+                return a.reshape(L_, B_ // N, N, H_)[:, :, 0, :]
+            return jax.tree.map(f, nh)
 
         if self.use_fused_ce:
             # Collect pre-decoder states inside the scan; decode+CE happens
@@ -993,15 +1189,25 @@ class BatchScorer:
                     {"params": params}, d_t, bcast(c1), deterministic=True,
                     step_mask=m_t, return_hidden=True,
                 )
+                if self.interp:
+                    hseq2, nh2 = self.model2.apply(
+                        {"params": params2}, d_t, bcast(c2),
+                        deterministic=True, step_mask=m_t, return_hidden=True,
+                    )
+                    return (first_hyp(nh1), first_hyp(nh2)), (hseq, hseq2)
                 return (first_hyp(nh1), c2), hseq
 
             (h1, h2), hs = jax.lax.scan(
                 per_utt_h, (h1, h2), (data, tgt, mask)
             )
+            hs2 = None
+            if self.interp:
+                hs, hs2 = hs
+                hs2 = hs2.reshape(-1, hs2.shape[-1])
             U, _, GN = tgt.shape
             scores = self._fused_scores_packed(
                 params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, seg, n_real, U * GN,
+                idx, seg, n_real, U * GN, hs2, m2,
             ).reshape(U, GN)
             return scores, h1, h2
 
@@ -1027,26 +1233,29 @@ class BatchScorer:
     # reference's carry-over, :261-274). ~2-3x fewer sequential recurrence
     # steps than per-utterance padded slots, and one kernel launch per
     # layer per chunk instead of one per utterance.
-    def _packed_carry_impl(self, params, data, tgt, mask, reset, h1,
-                           G: int, N: int, n_seg: int, idx, seg, n_real):
+    def _packed_carry_impl(self, params, params2, m2, data, tgt, mask, reset,
+                           h1, h2, G: int, N: int, n_seg: int,
+                           idx, seg, n_real):
         data = data.astype(jnp.int32)
         tgt = tgt.astype(jnp.int32)
         mask = mask.astype(jnp.float32)
         reset = reset.astype(jnp.float32)
-        L = h1[0].shape[0]
-        H = h1[0].shape[2]
         B = data.shape[1]
 
+        # shape-agnostic over each carry leaf: the second (interpolation)
+        # model may have a different nlayers/nhid geometry
         def bcast(c):
-            return jax.tree.map(
-                lambda a: jnp.broadcast_to(a[:, :, None, :], (L, G, N, H)).reshape(
-                    L, G * N, H
-                ),
-                c,
-            )
+            def f(a):
+                L_, G_, H_ = a.shape
+                return jnp.broadcast_to(
+                    a[:, :, None, :], (L_, G_, N, H_)).reshape(L_, G_ * N, H_)
+            return jax.tree.map(f, c)
 
         def first_hyp(nh):
-            return jax.tree.map(lambda a: a.reshape(L, G, N, H)[:, :, 0, :], nh)
+            def f(a):
+                L_, B_, H_ = a.shape
+                return a.reshape(L_, B_ // N, N, H_)[:, :, 0, :]
+            return jax.tree.map(f, nh)
 
         reset_src = (jnp.arange(B, dtype=jnp.int32) // N) * N
         hseq, nh = self.model.apply(
@@ -1054,11 +1263,20 @@ class BatchScorer:
             step_mask=mask, reset_mask=reset, reset_src=reset_src,
             return_hidden=True,
         )
+        hseq2, nh2 = None, h2
+        if self.interp:
+            hseq2, nh2 = self.model2.apply(
+                {"params": params2}, data, bcast(h2), deterministic=True,
+                step_mask=mask, reset_mask=reset, reset_src=reset_src,
+                return_hidden=True,
+            )
+            nh2 = first_hyp(nh2)
+            hseq2 = hseq2.reshape(-1, hseq2.shape[-1])
         scores = self._fused_scores_packed(
-            params, hseq.reshape(-1, H), tgt.reshape(-1),
-            idx, seg, n_real, n_seg,
+            params, hseq.reshape(-1, hseq.shape[-1]), tgt.reshape(-1),
+            idx, seg, n_real, n_seg, hseq2, m2,
         )
-        return scores, first_hyp(nh)
+        return scores, first_hyp(nh), nh2
 
     def _plan_args_packed(self, T: int, G: int, N: int, plan):
         """Device args for the PACKED gather plan. Mesh: chains split as
@@ -1112,6 +1330,13 @@ class BatchScorer:
         cap = rc.max_hyp_len
         cdtype = jnp.dtype(self.cfg.compute_dtype)
         carry = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
+        carry2 = None
+        p2, m2 = None, None
+        if self.interp:
+            carry2 = init_hidden(
+                self.cfg2.nlayers, G, self.cfg2.nhid,
+                dtype=jnp.dtype(self.cfg2.compute_dtype))
+            p2, m2 = self.params2, self._interp_m2()
         scores: Dict[tuple, float] = {}
         pending = []
         U_CHUNK = min(rc.carry_chunk_utts, U_total)
@@ -1150,9 +1375,9 @@ class BatchScorer:
                 rows, 1, T, G * N, want_ce_mask=False,
                 t_offs=t_offs, seg_ids=seg_ids)
             idx, seg, n = self._plan_args_packed(T, G, N, plan)
-            out, carry = self._packed_step(
-                self.params, jnp.asarray(data[0]), jnp.asarray(tgt[0]),
-                jnp.asarray(mask[0]), jnp.asarray(reset_np), carry,
+            out, carry, carry2 = self._packed_step(
+                self.params, p2, m2, jnp.asarray(data[0]), jnp.asarray(tgt[0]),
+                jnp.asarray(mask[0]), jnp.asarray(reset_np), carry, carry2,
                 Gl, N, U * Gl * N,
                 idx, seg, n,
             )
@@ -1190,7 +1415,11 @@ class BatchScorer:
         enc = enc_all
         cdtype = jnp.dtype(self.cfg.compute_dtype)
         carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
-        carry2 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
+        # the interpolation model may have its own geometry (ref loads an
+        # independent baseline checkpoint, :457-472)
+        cfg2 = self.cfg2 if self.interp else self.cfg
+        carry2 = init_hidden(
+            cfg2.nlayers, G, cfg2.nhid, dtype=jnp.dtype(cfg2.compute_dtype))
         scores: Dict[tuple, float] = {}
         pending = []  # (device scores handle, slot_key) per chunk; ONE sync
         U_CHUNK = min(rc.carry_chunk_utts, U_total)
@@ -1230,6 +1459,7 @@ class BatchScorer:
                 cm = jnp.asarray(ce_mask)
             out, carry1, carry2 = self._carry_step(
                 self.params, self.params2 if self.interp else self.params,
+                self._interp_m2(),
                 jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
                 cm, carry1, carry2, N, *extra,
             )

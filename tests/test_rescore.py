@@ -380,3 +380,144 @@ def test_packed_nocarry_rnn_matches_bucketed(monkeypatch, extra):
         np.testing.assert_allclose(
             [s for _, s in got[k]], [s for _, s in ref[k]],
             rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("inter_flag", [1, 2])
+@pytest.mark.parametrize("mode", ["carry", "nocarry", "tm"])
+@pytest.mark.parametrize("layout", ["packed", "slotted"])
+def test_fused_interp_matches_unfused(monkeypatch, inter_flag, mode, layout):
+    """Interpolated rescoring rides the fused-CE fast paths (packed AND
+    slotted layouts): logit-level interpolation (inter_flag=1, ref :157-163)
+    is ONE fused kernel call over concatenated hiddens against the
+    pre-scaled concat decoder  [h1, h2] @ concat(a*W1, (1-a)*W2)';
+    score-level (inter_flag=2, `…copy.py`:244-264) is two fused calls
+    combined a*ce1+(1-a)*ce2. Parity vs the unfused interp path, with a
+    second model of DIFFERENT geometry (the ref loads an independent
+    baseline checkpoint, :457-472)."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+    if layout == "slotted":  # force the bucketed/slotted fused branches
+        monkeypatch.setenv("BAYESLM_PACKED_CARRY", "0")
+        monkeypatch.setenv("BAYESLM_PACKED_TM", "0")
+        monkeypatch.setenv("BAYESLM_PACKED_NOCARRY", "0")
+
+    V = 32
+    if mode == "tm":
+        cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=16,
+                          nhid=32, nlayers=2, nhead=2, dropout=0.0)
+        cfg2 = ModelConfig(model="Transformer", vocab_size=V, emsize=24,
+                           nhid=16, nlayers=1, nhead=2, dropout=0.0)
+    else:
+        cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16,
+                          dropout=0.0)
+        cfg2 = ModelConfig(model="LSTM", vocab_size=V, emsize=24, nhid=24,
+                           nlayers=1, dropout=0.0)
+    p1 = init_params(build_model(cfg), cfg, seed=0)
+    p2 = init_params(build_model(cfg2), cfg2, seed=9)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(17)
+    nbest = OrderedDict()
+    for u in range(5):
+        nbest[f"A_{u}" if u % 2 else f"B_{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 12)))
+            for _ in range(3)
+        ]
+    nbest["A_9"] = [" ".join(f"w{rng.integers(2, V)}" for _ in range(30))]
+    stream = lambda k: k.split("_")[0]
+
+    carry = mode == "carry"
+    rc = RescoreConfig(carry_over=carry, max_hyp_len=16, batch_size=4,
+                       carry_chunk_utts=2, inter_flag=inter_flag,
+                       inter_alpha=0.8)
+    sfn = stream if carry else None
+    plain = BatchScorer(cfg, p1, rc, cfg2=cfg2, params2=p2)
+    assert not plain.use_fused_ce  # CPU platform gate
+    ref = plain.score_nbest(nbest, w2i, stream_fn=sfn)
+
+    fused = BatchScorer(cfg, p1, rc, cfg2=cfg2, params2=p2)
+    fused.use_fused_ce = True
+    if layout == "packed":
+        if carry:
+            assert fused._packed_allowed()
+        else:
+            assert fused._packed_nocarry_allowed()
+    got = fused.score_nbest(nbest, w2i, stream_fn=sfn)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_fused_interp_gate_requires_same_family(monkeypatch):
+    """A cross-family model pair (LSTM main + Transformer baseline) cannot
+    share a batch layout, so the fused-interp gate must refuse it even on a
+    fused-capable platform."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "fused_ce_ok", lambda D: True)
+    V = 32
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16,
+                      dropout=0.0)
+    cfg2 = ModelConfig(model="Transformer", vocab_size=V, emsize=16, nhid=32,
+                       nlayers=1, nhead=2, dropout=0.0)
+    p1 = init_params(build_model(cfg), cfg, seed=0)
+    p2 = init_params(build_model(cfg2), cfg2, seed=1)
+    rc = RescoreConfig(carry_over=False, inter_flag=1, inter_alpha=0.8)
+    sc = BatchScorer(cfg, p1, rc, cfg2=cfg2, params2=p2)
+    assert not sc.use_fused_ce
+    # same family flips it on
+    sc2 = BatchScorer(cfg, p1, rc, cfg2=cfg, params2=p1)
+    assert sc2.use_fused_ce
+
+
+@pytest.mark.parametrize("family", ["tm", "lstm"])
+def test_fused_mc_matches_legacy(monkeypatch, family):
+    """Fused MC-average scoring (per-draw fused CE on gathered real token
+    positions, then a target-only log-mean-exp) == the legacy per-row path
+    that materializes the (K, T, B, V) log-softmax stack. Row j's draws are
+    split(key(j), K) in BOTH implementations, so the same posterior samples
+    are averaged and the comparison is tolerance-tight."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    V = 32
+    if family == "tm":
+        cfg = ModelConfig(model="Transformer", vocab_size=V, emsize=16,
+                          nhid=32, nlayers=2, nhead=2, dropout=0.0,
+                          uncertainty="Variational", t_v_pos=1, v_seq_len=24)
+    else:
+        cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=16, nhid=16,
+                          dropout=0.0, uncertainty="Bayesian", l_bayes_pos=3)
+    params = init_params(build_model(cfg), cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, V):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(23)
+    nbest = OrderedDict()
+    for u in range(5):
+        nbest[f"u{u}"] = [
+            " ".join(f"w{rng.integers(2, V)}" for _ in range(rng.integers(1, 12)))
+            for _ in range(3)
+        ]
+
+    rc = RescoreConfig(carry_over=False, max_hyp_len=24, batch_size=4,
+                       mc_samples=3)
+    legacy = BatchScorer(cfg, params, rc)
+    assert not legacy.use_fused_mc  # CPU platform gate
+    ref = legacy.score_nbest(nbest, w2i)
+
+    fused = BatchScorer(cfg, params, rc)
+    fused.use_fused_mc = True
+    got = fused.score_nbest(nbest, w2i)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-4, err_msg=k)
