@@ -733,11 +733,18 @@ class BatchScorer:
         return _masked_ce_sums(logits, tgt, ce_mask)
 
     def _score_xl(self, nbest, word2idx, stream_fn=None, enc_all=None):
+        # The chain dependency here lives in the INPUTS (each utterance's
+        # memory is built from the previous utterance's first-hyp token ids,
+        # known on the host) — not in device results. So every mem-build and
+        # score call is dispatched asynchronously and the whole run syncs
+        # ONCE at the end; a per-utterance np.asarray would pay a ~25 ms
+        # tunnel round trip per utterance.
         rc = self.rcfg
         buckets = length_buckets(rc.max_hyp_len)
         N = max((len(h) for h in nbest.values()), default=1)
         scores: Dict[tuple, float] = {}
         last: Dict[str, list] = {}  # chain label -> previous first-hyp ids
+        pending = []  # (device scores handle, key, n_hyps)
         for k, hyps in nbest.items():
             label = stream_fn(k) if stream_fn else "_all"
             enc = enc_all[k]
@@ -761,9 +768,7 @@ class BatchScorer:
                     jnp.asarray(mask), mems,
                     jnp.asarray(min(len(prev), Mb), jnp.int32),
                 )
-            out = np.asarray(out)
-            for i in range(len(hyps)):
-                scores[(k, i)] = float(out[i])
+            pending.append((out, k, len(hyps)))
             if enc:
                 # over-long previous utterance: keep BOS + the TRAILING
                 # tokens (the words adjacent to the next utterance), like
@@ -772,6 +777,10 @@ class BatchScorer:
                 if len(ids) > rc.max_hyp_len:
                     ids = [ids[0]] + ids[-(rc.max_hyp_len - 1):]
                 last[label] = ids
+        for out, k, n in pending:
+            out = np.asarray(out)
+            for i in range(n):
+                scores[(k, i)] = float(out[i])
         return self._assemble(nbest, scores)
 
     def _bucket_chunk_impl(self, params, params2, m2, data, tgt, mask, ce_mask,
