@@ -347,9 +347,14 @@ class BatchScorer:
             W1, b1 = self.params["embedding"], self.params["decoder_b"]
             W2, b2 = self.params2["embedding"], self.params2["decoder_b"]
             if self.interp == 1:
+                # scale in f32, store in the compute dtype: the CE kernel
+                # casts emb to the activation dtype per call, so matching it
+                # here makes that cast a no-op (skips a ~(V, D1+D2) HBM
+                # round trip per device call at flagship geometry)
                 Wcat = jnp.concatenate(
                     [a * W1.astype(jnp.float32),
-                     (1.0 - a) * W2.astype(jnp.float32)], axis=1)
+                     (1.0 - a) * W2.astype(jnp.float32)],
+                    axis=1).astype(jnp.dtype(self.cfg.compute_dtype))
                 bmix = a * b1.astype(jnp.float32) + (1.0 - a) * b2.astype(
                     jnp.float32)
                 self._m2_cache = (Wcat, bmix)
