@@ -42,6 +42,17 @@ def _load():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ]
             lib.blm_free_ids.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+            lib.blm_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+            lib.blm_vocab_from_pairs.restype = ctypes.c_void_p
+            lib.blm_vocab_from_pairs.argtypes = [ctypes.c_char_p]
+            lib.blm_encode_lines.restype = ctypes.c_int64
+            lib.blm_encode_lines.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ]
             _lib = lib
             return lib
     return None
@@ -76,6 +87,66 @@ class NativeTokenizer:
         finally:
             self._lib.blm_free_ids(out)
         return arr
+
+    def __del__(self):
+        try:
+            if getattr(self, "_vocab", None):
+                self._lib.blm_vocab_free(self._vocab)
+        except Exception:
+            pass
+
+
+class NativeEncoder:
+    """Batch hypothesis encoder over an arbitrary word→id mapping (the
+    N-best scorer's encode hot path). encode_lines() maps a newline-joined
+    block of hypotheses to (flat int32 ids, int64 offsets, int32 per-line
+    OOV counts) in one C call — OOV words map to <unk> and are tallied like
+    the dev scorer's count (`…copy.py`:123-144).
+
+    Returns None from ``build`` when the shared library isn't present or
+    the mapping contains whitespace-bearing words (can't be serialized to
+    the "word idx" pair buffer)."""
+
+    def __init__(self, lib, handle, bos: int):
+        self._lib = lib
+        self._vocab = handle
+        self.bos = bos
+
+    @staticmethod
+    def build(word2idx) -> "Optional[NativeEncoder]":
+        lib = _load()
+        if lib is None:
+            return None
+        try:
+            buf = "\n".join(
+                f"{w} {i}" for w, i in word2idx.items()).encode("utf-8")
+        except Exception:
+            return None
+        if any(c in w for w in word2idx for c in (" ", "\t", "\n")):
+            return None
+        h = lib.blm_vocab_from_pairs(buf)
+        if not h:
+            return None
+        return NativeEncoder(lib, h, word2idx.get("<s>", 0))
+
+    def encode_lines(self, text: str):
+        ids_p = ctypes.POINTER(ctypes.c_int32)()
+        offs_p = ctypes.POINTER(ctypes.c_int64)()
+        oov_p = ctypes.POINTER(ctypes.c_int32)()
+        n = self._lib.blm_encode_lines(
+            self._vocab, text.encode("utf-8"), ctypes.byref(ids_p),
+            ctypes.byref(offs_p), ctypes.byref(oov_p))
+        try:
+            offs = np.ctypeslib.as_array(offs_p, shape=(n + 1,)).copy()
+            total = int(offs[-1])
+            ids = (np.ctypeslib.as_array(ids_p, shape=(total,)).copy()
+                   if total else np.zeros((0,), np.int32))
+            oov = np.ctypeslib.as_array(oov_p, shape=(n,)).copy()
+        finally:
+            self._lib.blm_free_ids(ids_p)
+            self._lib.blm_free_i64(offs_p)
+            self._lib.blm_free_ids(oov_p)
+        return ids, offs, oov
 
     def __del__(self):
         try:

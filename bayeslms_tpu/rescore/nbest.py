@@ -76,6 +76,54 @@ def encode_hyp(
     return inp, tgt, len(ctx_ids), n_oov
 
 
+def encode_all_native(nbest, enc, backward: bool = False):
+    """Batch encode_hyp for the common (no spliced-context) path via the
+    native tokenizer (data/native.py NativeEncoder): ONE C call maps EVERY
+    hypothesis of the whole N-best set, and the BOS framing is vectorized
+    numpy scatters — identical (inp, tgt, n_ctx=0, n_oov) tuples to
+    encode_hyp, as int32 array views into two shared flat buffers instead
+    of per-hyp lists. The python encode loop used to cost ~1/3 of a whole
+    warm rescoring pass on the 1-core host.
+
+    Returns {utt_key: [(inp, tgt, 0, oov), …]}."""
+    keys = list(nbest)
+    counts = [len(nbest[k]) for k in keys]
+    all_hyps = [h for k in keys for h in nbest[k]]
+    if not all_hyps:
+        return {k: [] for k in keys}
+    ids, offs, oov = enc.encode_lines("\n".join(all_hyps))
+    n = len(all_hyps)
+    N = ids.shape[0]
+    offs = offs.astype(np.int64)
+    hyp_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    pos = np.arange(N, dtype=np.int64)
+    if backward:
+        # reverse word order within each hypothesis (dev scorer
+        # `--model_var back`): mirror each id inside its own span
+        ids = ids[offs[hyp_of] + (offs[hyp_of + 1] - 1 - pos)]
+    # hyp i's frame spans [offs[i]+i, offs[i+1]+i+1): BOS, then its ids
+    # (inp) / its ids, then EOS-as-BOS (tgt) — reference framing :87-120
+    inp_flat = np.empty(N + n, np.int32)
+    tgt_flat = np.empty(N + n, np.int32)
+    arange_n = np.arange(n, dtype=np.int64)
+    inp_flat[pos + hyp_of + 1] = ids
+    inp_flat[offs[:-1] + arange_n] = enc.bos
+    tgt_flat[pos + hyp_of] = ids
+    tgt_flat[offs[1:] + arange_n] = enc.bos
+    starts = offs[:-1] + arange_n
+    ends = offs[1:] + arange_n + 1
+    out = {}
+    i = 0
+    for k, c in zip(keys, counts):
+        out[k] = [
+            (inp_flat[starts[j]:ends[j]], tgt_flat[starts[j]:ends[j]], 0,
+             int(oov[j]))
+            for j in range(i, i + c)
+        ]
+        i += c
+    return out
+
+
 def pad_batch(
     seqs_in: List[List[int]],
     seqs_tgt: List[List[int]],

@@ -1,6 +1,7 @@
 """Batched rescorer parity vs a straight per-hypothesis loop implementing the
 reference scorer semantics (batch-1, hidden carry-over, summed token CE)."""
 
+import os
 from collections import OrderedDict
 
 import jax
@@ -521,3 +522,42 @@ def test_fused_mc_matches_legacy(monkeypatch, family):
         np.testing.assert_allclose(
             [s for _, s in got[k]], [s for _, s in ref[k]],
             rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_native_encode_matches_python():
+    """NativeEncoder batch encoding == encode_hyp exactly: ids, BOS framing,
+    OOV tally (literal <unk> in-vocab), unicode words, empty hypothesis,
+    backward reversal, and an arbitrary (non-dense) id mapping."""
+    import subprocess
+
+    from bayeslms_tpu.data import native
+    from bayeslms_tpu.rescore.nbest import encode_all_native
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(root, "tools")], check=True,
+                   capture_output=True)
+    assert native.available()
+    w2i = {"<s>": 3, "<unk>": 7, "a": 0, "b": 12, "días": 5, "日本": 9}
+    enc = native.NativeEncoder.build(w2i)
+    assert enc is not None
+    hyps = ["a b días", "zz <unk> 日本", " ", "b b zz qq a", ""]
+    nb = OrderedDict([("u1", hyps[:2]), ("u2", hyps[2:])])
+    for backward in (False, True):
+        enc_all = encode_all_native(nb, enc, backward=backward)
+        got = enc_all["u1"] + enc_all["u2"]
+        for h, (gi, gt, gn, go) in zip(hyps, got):
+            pi, pt, pn, po = encode_hyp(h, w2i, backward=backward)
+            assert list(gi) == pi and list(gt) == pt, h
+            assert gn == pn and go == po, h
+    # scoring end-to-end equality: native-encoded arrays through the full
+    # scorer == python-list encoding (same model, same nbest)
+    cfg = ModelConfig(model="LSTM", vocab_size=V, emsize=8, nhid=8, dropout=0.0)
+    params = init_params(build_model(cfg), cfg)
+    rcfg = RescoreConfig(carry_over=True, max_hyp_len=16, batch_size=4)
+    a = BatchScorer(cfg, params, rcfg).score_nbest(NBEST, W2I)
+    os.environ["BAYESLM_NATIVE_ENCODE"] = "0"
+    try:
+        b = BatchScorer(cfg, params, rcfg).score_nbest(NBEST, W2I)
+    finally:
+        os.environ.pop("BAYESLM_NATIVE_ENCODE", None)
+    _assert_same(a, b)
