@@ -82,7 +82,11 @@ def main():
     for i in range(vocab_words):
         w2i[f"w{i}"] = 2 + i
 
-    nbest = make_synthetic_nbest()
+    # 30 recordings (6000 hyps): a pass is ~0.25 s, so the ONE end-of-run
+    # fetch sync (~60 ms through the tunnel relay — a cost a locally
+    # attached chip wouldn't pay) stops dominating the measurement.
+    # Measured 10/30/60 recordings -> 17.8k / 22.9k / 21.2k hyps/sec.
+    nbest = make_synthetic_nbest(n_meetings=30)
     n_total = sum(len(h) for h in nbest.values())
 
     rcfg = RescoreConfig(carry_over=True, max_hyp_len=64)
