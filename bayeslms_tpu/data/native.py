@@ -118,11 +118,12 @@ class NativeEncoder:
         if lib is None:
             return None
         try:
+            if any(not isinstance(w, str) or " " in w or "\t" in w
+                   or "\n" in w for w in word2idx):
+                return None
             buf = "\n".join(
                 f"{w} {i}" for w, i in word2idx.items()).encode("utf-8")
         except Exception:
-            return None
-        if any(c in w for w in word2idx for c in (" ", "\t", "\n")):
             return None
         h = lib.blm_vocab_from_pairs(buf)
         if not h:

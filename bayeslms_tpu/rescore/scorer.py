@@ -686,11 +686,13 @@ class BatchScorer:
         nenc = None
         if rc.splice_len == 0 and os.environ.get(
                 "BAYESLM_NATIVE_ENCODE", "1") != "0":
-            if getattr(self, "_nenc_key", None) != id(word2idx):
+            # key on the dict itself (held alive by the attribute) — an id()
+            # key could alias a new dict allocated at a freed one's address
+            if getattr(self, "_nenc_key", None) is not word2idx:
                 from ..data.native import NativeEncoder
 
                 self._nenc = NativeEncoder.build(word2idx)
-                self._nenc_key = id(word2idx)
+                self._nenc_key = word2idx
             nenc = self._nenc
 
         def _enc_utt(k):

@@ -43,7 +43,9 @@ def bench_model(name, cfg, steps=20):
     from bayeslms_tpu.models.lstm_lm import init_hidden
     from bayeslms_tpu.train.loop import Trainer
 
-    T, B = 100, 32
+    # recipe geometry by default; BAYESLM_BENCH_B overrides to measure the
+    # batch-scaling headroom beyond the reference recipe (ROOFLINE.md)
+    T, B = 100, int(os.environ.get("BAYESLM_BENCH_B", 32))
     trainer = Trainer(cfg, TrainConfig(batch_size=B, seq_len=T, lr=0.1))
     state = trainer.init_state(seed=0)
     rng = np.random.default_rng(0)
