@@ -438,7 +438,12 @@ class BatchScorer:
                 (v for r, L in zip(rows, lens) for v in r[3][:L]),
                 np.int64, count=tot)
         off = np.cumsum(lens) - lens
-        t_vec = np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+        # local_t: position WITHIN the hypothesis — the splice-context
+        # exclusion below must use this, not the packed-layout-shifted
+        # absolute time (t_offs), or context tokens placed at t_off>=n_ctx
+        # would be scored
+        local_t = np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+        t_vec = local_t
         if t_offs is not None:
             t_vec = t_vec + np.repeat(np.asarray(t_offs, np.int64), lens)
         r_vec = np.repeat(np.fromiter((r[0] for r in rows), np.int64, n_h), lens)
@@ -448,7 +453,7 @@ class BatchScorer:
         tgt[dest] = flat_tg
         mask[dest] = 1
         nc_vec = np.repeat(np.fromiter((r[4] for r in rows), np.int64, n_h), lens)
-        keep = t_vec >= nc_vec  # context conditions the model, not the score
+        keep = local_t >= nc_vec  # context conditions the model, not the score
         ce_mask = None
         plan = None
         if want_ce_mask:

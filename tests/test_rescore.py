@@ -561,3 +561,50 @@ def test_native_encode_matches_python():
     finally:
         os.environ.pop("BAYESLM_NATIVE_ENCODE", None)
     _assert_same(a, b)
+
+
+@pytest.mark.parametrize("mode", ["carry_lstm", "nocarry_lstm", "tm"])
+def test_packed_splice_excludes_context(monkeypatch, mode):
+    """Spliced-context tokens condition the model but are EXCLUDED from the
+    score in the packed layouts too (regression: the fused gather plan's
+    keep test used the packed-offset-shifted absolute time, so any
+    hypothesis placed at t_off >= n_ctx scored its context tokens)."""
+    from bayeslms_tpu.ops import ce_pallas as cp
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "_BM", 8)
+    monkeypatch.setattr(cp, "_BV", 128)
+
+    Vv = 32
+    if mode == "tm":
+        cfg = ModelConfig(model="Transformer", vocab_size=Vv, emsize=16,
+                          nhid=32, nlayers=2, nhead=2, dropout=0.0)
+    else:
+        cfg = ModelConfig(model="LSTM", vocab_size=Vv, emsize=16, nhid=16,
+                          dropout=0.0)
+    params = init_params(build_model(cfg), cfg)
+    w2i = {"<s>": 1, "<unk>": 0}
+    for i in range(2, Vv):
+        w2i[f"w{i}"] = i
+    rng = np.random.default_rng(5)
+    nbest = OrderedDict()
+    for u in range(5):  # >1 utterance per chain => t_off > 0 slots exist
+        nbest[f"A_{u}"] = [
+            " ".join(f"w{rng.integers(2, Vv)}" for _ in range(rng.integers(2, 9)))
+            for _ in range(2 + u % 2)
+        ]
+    carry = mode == "carry_lstm"
+    rc = RescoreConfig(carry_over=carry, max_hyp_len=16, splice_len=3,
+                       carry_chunk_utts=2, batch_size=4)
+    plain = BatchScorer(cfg, params, rc)
+    assert not (plain._packed_allowed() or plain._packed_nocarry_allowed())
+    ref = plain.score_nbest(nbest, w2i)
+
+    packed = BatchScorer(cfg, params, rc)
+    packed.use_fused_ce = True
+    assert packed._packed_allowed() if carry else packed._packed_nocarry_allowed()
+    got = packed.score_nbest(nbest, w2i)
+    for k in nbest:
+        np.testing.assert_allclose(
+            [s for _, s in got[k]], [s for _, s in ref[k]],
+            rtol=1e-4, atol=1e-4, err_msg=k)
