@@ -377,21 +377,42 @@ class Trainer:
                 )
                 t0 = time.time()
         if tail is not None:
-            # Final ragged window, padded to static seq_len + masked CE
-            # (reference train.py:315-316 steps on it; KL scale unchanged).
+            # Final ragged window (reference train.py:315-316 steps on it;
+            # KL scale unchanged).
             d_t, t_t = tail
             cur, bsz = d_t.shape
             L = tcfg.seq_len
-            data_p = np.zeros((L, bsz), dtype=train_rows.dtype)
-            tgt_p = np.zeros((L, bsz), dtype=train_rows.dtype)
-            m_p = np.zeros((L, bsz), dtype=np.float32)
-            data_p[:cur], tgt_p[:cur], m_p[:cur] = d_t, t_t, 1.0
-            params, opt_state, hidden, loss, mle, kl, gnorm = self._get_masked_step()(
-                params, opt_state, hidden,
-                self._put_batch(data_p), self._put_batch(tgt_p),
-                jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
-                jax.random.fold_in(epoch_key, n), self._put_batch(m_p),
-            )
+            if self.mcfg.uncertainty == "Variational":
+                # Variational KL is ACTIVATION-dependent (VNN/VLSTM sow KL
+                # from hidden activations, models/lstm_lm.py; VEncoderLayer
+                # gates noise on the actual window length, reference
+                # model.py:2756-2805) — on a padded window the KL would be
+                # computed from pad-step activations and the TM length gate
+                # would fire when the reference's short window would not.
+                # Run the short window at its EXACT shape instead (one extra
+                # compile; reference semantics).
+                params, opt_state, hidden, loss, mle, kl, gnorm = self._train_step(
+                    params, opt_state, hidden,
+                    self._put_batch(np.ascontiguousarray(d_t)),
+                    self._put_batch(np.ascontiguousarray(t_t)),
+                    jnp.asarray(state.lr, jnp.float32),
+                    jnp.asarray(kl_scale, jnp.float32),
+                    jax.random.fold_in(epoch_key, n),
+                )
+            else:
+                # CE is masked-exact and the KL of every other family is
+                # weight-space (padding-independent) — pad to the static
+                # seq_len so the epoch stays one compiled shape.
+                data_p = np.zeros((L, bsz), dtype=train_rows.dtype)
+                tgt_p = np.zeros((L, bsz), dtype=train_rows.dtype)
+                m_p = np.zeros((L, bsz), dtype=np.float32)
+                data_p[:cur], tgt_p[:cur], m_p[:cur] = d_t, t_t, 1.0
+                params, opt_state, hidden, loss, mle, kl, gnorm = self._get_masked_step()(
+                    params, opt_state, hidden,
+                    self._put_batch(data_p), self._put_batch(tgt_p),
+                    jnp.asarray(state.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+                    jax.random.fold_in(epoch_key, n), self._put_batch(m_p),
+                )
         state.params, state.opt_state = params, opt_state
         return state
 

@@ -250,3 +250,59 @@ def test_ragged_final_window_transformer_fit(tmp_path):
     state, out = trainer.fit(TinyCorpus(V=20, n=1491), log=lambda *a: None)
     assert math.isfinite(out["test_loss"])
     assert out["history"][-1]["val_loss"] < math.log(20)
+
+
+def test_ragged_final_window_variational_exact():
+    """Variational KL is activation-dependent, so the epoch's ragged final
+    window must run at its EXACT short shape (a padded window would compute
+    KL from pad-step activations). run_epoch's update must equal the manual
+    short-window step bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayeslms_tpu.data.corpus import batchify, windows
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+
+    cfg = ModelConfig(model="LSTM", vocab_size=20, emsize=8, nhid=8,
+                      dropout=0.0, uncertainty="Variational", l_v_pos="11")
+    tcfg = TrainConfig(
+        lr=0.5, batch_size=4, eval_batch_size=4, epochs=1, seq_len=10,
+        log_interval=10**9, save="/tmp/unused_var.ckpt",
+    )
+    trainer = Trainer(cfg, tcfg)
+    state = trainer.init_state()
+    p0 = jax.tree.map(lambda x: x.copy(), state.params)
+
+    rng = np.random.default_rng(0)
+    stream = rng.integers(1, 20, size=37 * 4).astype(np.int32)
+    rows = batchify(stream, 4)
+    d_all, t_all, tail = windows(rows, 10, drop_ragged=False)
+    assert d_all.shape[0] == 3 and tail is not None and tail[0].shape[0] == 6
+
+    epoch_key = jax.random.key(7)
+    state = trainer.run_epoch(state, rows, epoch_key, log=lambda *a: None)
+
+    params, opt = p0, trainer.init_state().opt_state
+    opt = type(opt)(momentum=jax.tree.map(jnp.zeros_like, p0))
+    hidden = init_hidden(cfg.nlayers, 4, cfg.nhid)
+    kl_scale = 10 / rows.shape[0]
+    for b in range(3):
+        params, opt, hidden, *_ = trainer._step_impl(
+            params, opt, hidden, jnp.asarray(d_all[b]), jnp.asarray(t_all[b]),
+            jnp.asarray(tcfg.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+            jax.random.fold_in(epoch_key, b),
+        )
+    params, opt, hidden, *_ = trainer._step_impl(
+        params, opt, hidden, jnp.asarray(tail[0]), jnp.asarray(tail[1]),
+        jnp.asarray(tcfg.lr, jnp.float32), jnp.asarray(kl_scale, jnp.float32),
+        jax.random.fold_in(epoch_key, 3),
+    )
+    ref_leaves, treedef = jax.tree.flatten(jax.device_get(params))
+    got_leaves = treedef.flatten_up_to(jax.device_get(state.params))
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    for name, r, g in zip(paths, ref_leaves, got_leaves):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(r, np.float64),
+            rtol=2e-4, atol=2e-6, err_msg=name,
+        )
