@@ -63,8 +63,10 @@ def cmd_train(args) -> int:
         # join a multi-host DCN job BEFORE any jax device use; the mesh below
         # then spans every process's devices (SURVEY §2c — replaces the
         # reference's queue/slurm launchers). Each process must see the same
-        # data dir; checkpoints are written by every process (correct on both
-        # shared and per-host filesystems).
+        # data dir; checkpoints are written by every process via an atomic
+        # temp+rename (core/checkpoint.py), so a shared --save path sees
+        # last-rename-wins of identical replicated bytes (never a torn file)
+        # and per-host filesystems each keep their own copy for reload-best.
         import jax
 
         from ..parallel.multihost import initialize_multihost

@@ -24,14 +24,25 @@ from flax import serialization
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    # Write-temp-then-rename so a reader (e.g. the trainer's plateau
+    # reload-best, reference train.py:505-512) never sees a torn file. The
+    # temp name is unique per process so concurrent multihost writers on a
+    # shared filesystem can't interleave; params are replicated across
+    # processes, so last-rename-wins leaves identical bytes either way.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, params, meta: Optional[dict] = None) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host_params = jax.device_get(params)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(host_params))
+    _atomic_write(path, serialization.to_bytes(host_params))
     if meta is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(meta, f, indent=2, default=str)
+        _atomic_write(path + ".json",
+                      json.dumps(meta, indent=2, default=str).encode())
 
 
 def load_checkpoint(path: str, target=None) -> Tuple[Any, Optional[dict]]:

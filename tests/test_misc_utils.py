@@ -74,3 +74,23 @@ def test_profile_dir_produces_trace(tmp_path):
     Trainer(cfg, tcfg).fit(TinyCorpus(), log=lambda *a: None)
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "no profiler trace artifacts written"
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """save_checkpoint must write temp+rename (multihost writers on a shared
+    --save path, cli/main.py): no stray temp files, roundtrip intact, and a
+    failed writer's leftover temp never clobbers the committed file."""
+    from bayeslms_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "m.ckpt")
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_checkpoint(path, params, meta={"epoch": 1})
+    # a crashed concurrent writer leaves only its own temp file behind
+    (tmp_path / "m.ckpt.tmp.99999").write_bytes(b"torn")
+    save_checkpoint(path, {"w": params["w"] * 2}, meta={"epoch": 2})
+    got, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(got["w"], params["w"] * 2)
+    assert meta["epoch"] == 2
+    leftovers = [p.name for p in tmp_path.iterdir()
+                 if ".tmp." in p.name and p.name != "m.ckpt.tmp.99999"]
+    assert leftovers == [], leftovers
