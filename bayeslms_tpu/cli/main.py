@@ -116,6 +116,36 @@ def _scorer_mesh(args):
     return make_mesh(dp=args.dp_shards, tp=1)
 
 
+def _inter_model(args, vocab_size: int):
+    """Load the interpolation second model (reference: model_2 is built from
+    the SAME args as the main model, compute_sentence_scores_bayes_jianwei.py
+    :442-455). Here the checkpoint's JSON sidecar — written by Trainer.fit —
+    takes precedence, so an independently-trained baseline with different
+    geometry/uncertainty loads correctly; a sidecar-less checkpoint falls
+    back to the reference's same-args behavior."""
+    import dataclasses
+
+    from ..core.checkpoint import load_checkpoint
+
+    if not args.inter_path:
+        raise SystemExit("--interpolation_flag requires --inter_path")
+    params2, meta2 = load_checkpoint(args.inter_path)
+    mc = (meta2 or {}).get("model_config")
+    if isinstance(mc, dict):
+        known = {f.name for f in dataclasses.fields(ModelConfig)}
+        mc = {k: v for k, v in mc.items() if k in known}
+        if mc.get("vocab_size", 0) and mc["vocab_size"] != vocab_size:
+            raise SystemExit(
+                f"--inter_path model was trained with vocab_size="
+                f"{mc['vocab_size']}, but the vocabulary here has "
+                f"{vocab_size} entries")
+        mc["vocab_size"] = vocab_size
+        cfg2 = ModelConfig(**mc)
+    else:
+        cfg2 = _model_cfg(args, vocab_size)
+    return cfg2, params2
+
+
 def cmd_score(args) -> int:
     """Score an n-best list with a trained model (the reference's
     compute_sentence_scores_* entry point)."""
@@ -136,8 +166,7 @@ def cmd_score(args) -> int:
     )
     params2 = cfg2 = None
     if args.interpolation_flag:
-        cfg2 = _model_cfg(args, len(vocab))
-        params2, _ = load_checkpoint(args.inter_path)
+        cfg2, params2 = _inter_model(args, len(vocab))
     scorer = BatchScorer(cfg, params, rcfg, cfg2, params2,
                          mesh=_scorer_mesh(args))
     nbest = load_nbest(args.nbest_list)
@@ -210,8 +239,7 @@ def cmd_rescore(args) -> int:
     )
     params2 = cfg2 = None
     if args.interpolation_flag:
-        cfg2 = _model_cfg(args, len(vocab))
-        params2, _ = load_checkpoint(args.inter_path)
+        cfg2, params2 = _inter_model(args, len(vocab))
     scorer = BatchScorer(cfg, params, rcfg, cfg2, params2,
                          mesh=_scorer_mesh(args))
     import contextlib

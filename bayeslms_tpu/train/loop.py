@@ -20,6 +20,7 @@ runs through a padded+masked step variant so the schedule is token-exact.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time
 from dataclasses import dataclass
@@ -510,7 +511,13 @@ class Trainer:
             history.append({"epoch": epoch, "val_loss": val_loss, "lr": state.lr})
 
             if state.best_val_loss is None or val_loss < state.best_val_loss:
-                save_checkpoint(tcfg.save, state.params, meta={"epoch": epoch, "val_loss": val_loss})
+                save_checkpoint(
+                    tcfg.save, state.params,
+                    meta={"epoch": epoch, "val_loss": val_loss,
+                          # lets downstream consumers (the CLI's --inter_path
+                          # second model) rebuild the exact ModelConfig
+                          "model_config": dataclasses.asdict(self.mcfg)},
+                )
                 state.best_val_loss = val_loss
             else:
                 # Plateau: halve LR, reload best params, fresh optimizer

@@ -137,3 +137,53 @@ def test_cli_score_context_file_bad_ids_errors(tmp_path, capsys):
     ])
     assert rc == 1
     assert "not n-best utterance ids" in capsys.readouterr().err
+
+
+def test_cli_interp_second_model_from_sidecar(corpus_dir):
+    """--inter_path may point to an independently-trained model with
+    DIFFERENT geometry/uncertainty: cfg2 is rebuilt from the checkpoint's
+    model_config sidecar (written by Trainer.fit) instead of the main
+    model's args. Interpolation must change the scores, and omitting
+    --inter_path must fail with a clear error."""
+    save1 = str(corpus_dir / "main.ckpt")
+    rc = main([
+        "train", "--data", str(corpus_dir), "--model", "LSTM",
+        "--uncertainty", "Bayesian", "--L_bayes_pos", "3",
+        "--emsize", "8", "--nhid", "8", "--epochs", "1", "--seq_len", "8",
+        "--batch-size", "4", "--eval-batch-size", "4", "--lr", "1.0",
+        "--save", save1,
+    ])
+    assert rc == 0
+    save2 = str(corpus_dir / "baseline.ckpt")
+    rc = main([
+        "train", "--data", str(corpus_dir), "--model", "LSTM",
+        "--emsize", "12", "--nhid", "12", "--nlayers", "1",
+        "--epochs", "1", "--seq_len", "8", "--batch-size", "4",
+        "--eval-batch-size", "4", "--lr", "1.0", "--save", save2,
+    ])
+    assert rc == 0
+
+    nbest = corpus_dir / "nb_interp.txt"
+    nbest.write_text("u1-1 w0 w3\nu1-2 w0 w5\n")
+
+    def scores_of(extra):
+        out = corpus_dir / "si.txt"
+        rc = main([
+            "score", "--nbest-list", str(nbest), "--vocabulary",
+            str(corpus_dir / "words.txt"), "--model-path", save1,
+            "--outfile", str(out), "--model", "LSTM", "--uncertainty",
+            "Bayesian", "--L_bayes_pos", "3", "--emsize", "8", "--nhid", "8",
+            "--no-carry-over",
+        ] + extra)
+        assert rc == 0
+        return dict(l.split() for l in out.read_text().splitlines())
+
+    base = scores_of([])
+    interp = scores_of(["--interpolation_flag", "1",
+                        "--inter_path", save2, "--inter_alpha", "0.5"])
+    assert set(base) == set(interp) == {"u1-1", "u1-2"}
+    assert base != interp  # the 12/12x1 baseline moved the scores
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="requires --inter_path"):
+        scores_of(["--interpolation_flag", "1"])
