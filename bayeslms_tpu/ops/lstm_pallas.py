@@ -37,17 +37,21 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _est_vmem(U: int, B: int, H: int, row_elems: int, itemsize: int) -> int:
+def _est_vmem(U: int, B: int, H: int, row_elems: int, itemsize: int,
+              reset: bool = False) -> int:
     """Upper-bound scoped-VMEM bytes for one grid step. ``row_elems`` is the
     total element count per (time-step, batch-row) across all time-walked
     operands/results — those blocks are double-buffered by the pipeline, as
     is the resident (H, 4H) W_hh block. Fixed terms: mask block, carries,
-    fp32 scratch."""
+    fp32 scratch. The reset kernel adds a second (U, B, 8) time-walked block
+    (rst events) and the resident (B, B) selection matrix."""
     G = 4 * H
     seq = 2 * U * B * row_elems * itemsize          # double-buffered blocks
     whh = 2 * H * G * itemsize                      # resident, double-buffered
     fixed = (6 * B * H + G) * itemsize + 2 * B * H * 4 \
         + 2 * U * B * 8 * itemsize                  # h0/c0/hT/cT, bhh, scratch, mask
+    if reset:
+        fixed += 2 * B * B * itemsize + 2 * U * B * 8 * itemsize
     return seq + whh + fixed
 
 
@@ -59,7 +63,8 @@ _ROWS_TRAIN_FWD = 6
 _ROWS_TRAIN_BWD = 11
 
 
-def _unroll(T: int, B: int, H: int, rows_h: int, itemsize: int) -> int:
+def _unroll(T: int, B: int, H: int, rows_h: int, itemsize: int,
+            reset: bool = False) -> int:
     """Time-unroll factor: several sequential LSTM steps per grid iteration
     amortize the per-grid-step fixed cost (pipeline bookkeeping, semaphores,
     carry loads) that dominates the latency-bound recurrence at small batch.
@@ -76,7 +81,7 @@ def _unroll(T: int, B: int, H: int, rows_h: int, itemsize: int) -> int:
             return u
     budget = int(0.9 * _VMEM_LIMIT)
     for u in (8, 5, 4, 2):
-        if T % u == 0 and _est_vmem(u, B, H, rows_h * H, itemsize) <= budget:
+        if T % u == 0 and _est_vmem(u, B, H, rows_h * H, itemsize, reset) <= budget:
             return u
     return 1
 
@@ -175,7 +180,7 @@ def _run_reset(xg, w_hh_t, b_hh, mask, rst, pmat, h0, c0, masked: bool):
     T, B, G = xg.shape
     H = G // 4
     dtype = xg.dtype
-    U = _unroll(T, B, H, _ROWS_FWD, jnp.dtype(dtype).itemsize)
+    U = _unroll(T, B, H, _ROWS_FWD, jnp.dtype(dtype).itemsize, reset=True)
     TB = T // U
     kernel = functools.partial(_kernel_reset, TB=TB, U=U, masked=masked)
     ys, hT, cT = pl.pallas_call(
@@ -1092,7 +1097,10 @@ def pallas_lstm_ok(nhid: int, dtype, batch: Optional[int] = None,
     if whh_bytes > 8 * 1024 * 1024:
         return False
     if batch is not None:
+        # scoring batches may route to the reset kernel (packed layouts),
+        # so gate on its larger block set like pallas_lstm2_ok does
         rows = _ROWS_TRAIN_BWD if train else _ROWS_FWD
-        if _est_vmem(1, batch, nhid, rows * nhid, itemsize) > int(0.9 * _VMEM_LIMIT):
+        if _est_vmem(1, batch, nhid, rows * nhid, itemsize, reset=not train) \
+                > int(0.9 * _VMEM_LIMIT):
             return False
     return True

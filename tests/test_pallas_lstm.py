@@ -161,6 +161,18 @@ def test_unroll_respects_vmem_budget():
         > int(0.9 * lp._VMEM_LIMIT)
     assert not lp.pallas_lstm_ok(1024, jnp.bfloat16, batch=1600, train=True) \
         or jax.devices()[0].platform not in ("tpu", "axon")
+    # the reset kernel's extra rst block + (B, B) selection matrix must be
+    # part of the estimate _run_reset sizes its unroll with — at a batch
+    # where they matter the reset U must not exceed the plain-fwd U, and the
+    # chosen U's reset block set must itself fit the budget
+    for B in (200, 512, 1024):
+        u_plain = lp._unroll(40, B, 1024, lp._ROWS_FWD, s)
+        u_reset = lp._unroll(40, B, 1024, lp._ROWS_FWD, s, reset=True)
+        assert u_reset <= u_plain
+        assert lp._est_vmem(u_reset, B, 1024, lp._ROWS_FWD * 1024, s,
+                            reset=True) <= int(0.9 * lp._VMEM_LIMIT)
+    assert lp._est_vmem(1, 200, 1024, lp._ROWS_FWD * 1024, s, reset=True) \
+        > lp._est_vmem(1, 200, 1024, lp._ROWS_FWD * 1024, s)
 
 
 def test_pallas_reset_matches_scan():
