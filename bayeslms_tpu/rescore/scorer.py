@@ -482,27 +482,23 @@ class BatchScorer:
         seg[:n] = ce_seg
         return idx, seg, n
 
-    def _plan_args(self, data_shape, plan):
-        """Device args for the gather plan. Single device: (idx, seg,
-        n_real). Mesh: per-shard plans over each contiguous column block —
-        indices and segment ids are shard-local — stacked as (dp, K)."""
+    def _split_plan(self, plan, cap_l: int, localize):
+        """Device args for a gather plan. Single device: (idx, seg, n_real)
+        as-is. Mesh: split the global plan into per-dp-shard local plans,
+        pad each to the widest K, stack to (dp, K). ``localize(idx, seg)``
+        returns (shard, lidx0, lseg0, idx_stride, seg_stride); shard s's
+        local entries are lidx0 - s*idx_stride / lseg0 - s*seg_stride."""
         if self.mesh is None:
             idx, seg, n = plan
             return jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32)
-        # re-localize the global plan per dp shard
-        R, T, C = data_shape
-        Cl = C // self._dp
         idx, seg, n = plan
         idx, seg = idx[:n].astype(np.int64), seg[:n].astype(np.int64)
-        c = idx % C
-        shard = c // Cl
-        rt = idx // C
+        shard, lidx0, lseg0, di, ds = localize(idx, seg)
         packs = []
         for s in range(self._dp):
             m = shard == s
-            packs.append(self._pack_plan(
-                rt[m] * Cl + (c[m] - s * Cl), (seg[m] // C) * Cl + (seg[m] % C - s * Cl),
-                R * T * Cl))
+            packs.append(self._pack_plan(lidx0[m] - s * di, lseg0[m] - s * ds,
+                                         cap_l))
         K = max(p[0].shape[0] for p in packs)
         idx2 = np.zeros((self._dp, K), np.int32)
         seg2 = np.zeros((self._dp, K), np.int32)
@@ -510,6 +506,19 @@ class BatchScorer:
         for s, (i_, s_, n_) in enumerate(packs):
             idx2[s, : len(i_)], seg2[s, : len(s_)], nn[s] = i_, s_, n_
         return jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
+
+    def _plan_args(self, data_shape, plan):
+        """Gather plan over slotted (R, T, C) batches; mesh shards are
+        contiguous column blocks of Cl = C/dp columns."""
+        R, T, C = data_shape
+        Cl = C // self._dp
+
+        def localize(idx, seg):
+            c = idx % C
+            return (c // Cl, (idx // C) * Cl + c,
+                    (seg // C) * Cl + seg % C, Cl, Cl)
+
+        return self._split_plan(plan, R * T * Cl, localize)
 
     # ------------------------------------------------------------ jit bodies
     def _tm_impl(self, params, params2, data, tgt, mask):
@@ -1075,30 +1084,13 @@ class BatchScorer:
         data, tgt, mask, _, plan = self._build_rows(
             rows, n, T, Bc, want_ce_mask=False,
             t_offs=t_offs, seg_ids=seg_ids)
-        if dp == 1:
-            idx, seg, n_real = (jnp.asarray(plan[0]), jnp.asarray(plan[1]),
-                                jnp.asarray(plan[2], jnp.int32))
-        else:
-            # re-localize the global plan per column-block shard
-            gidx, gseg, gn = plan
-            gidx = gidx[:gn].astype(np.int64)
-            gseg = gseg[:gn].astype(np.int64)
+        def localize(gidx, gseg):
+            # columns split as contiguous blocks of Bl; segment ids are
+            # already shard-major (s*n_seg_l + rank)
             col = gidx % Bc
-            s_v = col // Bl
-            rt = gidx // Bc
-            packs = []
-            for s_ in range(dp):
-                m = s_v == s_
-                packs.append(self._pack_plan(
-                    rt[m] * Bl + (col[m] - s_ * Bl),
-                    gseg[m] - s_ * n_seg_l, n * T * Bl))
-            K = max(p[0].shape[0] for p in packs)
-            idx2 = np.zeros((dp, K), np.int32)
-            seg2 = np.zeros((dp, K), np.int32)
-            nn = np.zeros((dp,), np.int32)
-            for s_, (i_, sg_, n_) in enumerate(packs):
-                idx2[s_, : len(i_)], seg2[s_, : len(sg_)], nn[s_] = i_, sg_, n_
-            idx, seg, n_real = jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
+            return (col // Bl, (gidx // Bc) * Bl + col, gseg, Bl, n_seg_l)
+
+        idx, seg, n_real = self._split_plan(plan, n * T * Bl, localize)
         p2 = self.params2 if self.interp else None
         m2 = self._interp_m2()
         if self.is_tm:
@@ -1329,38 +1321,23 @@ class BatchScorer:
         return scores, first_hyp(nh), nh2
 
     def _plan_args_packed(self, T: int, G: int, N: int, plan):
-        """Device args for the PACKED gather plan. Mesh: chains split as
-        contiguous column blocks of Gl = G/dp chains; indices, columns AND
-        the packed segment ids ((u*G + g)*N + c) are re-localized per shard
-        and stacked (dp, K)."""
-        if self.mesh is None:
-            idx, seg, n = plan
-            return jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32)
-        dp = self._dp
-        Gl = G // dp
+        """Gather plan over packed-carry (T, G*N) batches. Mesh: chains
+        split as contiguous column blocks of Gl = G/dp chains; indices,
+        columns AND the packed segment ids ((u*G + g)*N + c) are
+        re-localized per shard."""
+        Gl = G // self._dp
         Bl = Gl * N
         B = G * N
-        idx, seg, n = plan
-        idx, seg = idx[:n].astype(np.int64), seg[:n].astype(np.int64)
-        col = idx % B
-        t = idx // B
-        g = col // N
-        u = seg // (G * N)
-        c = seg % N
-        shard = g // Gl
-        packs = []
-        for s_ in range(dp):
-            m = shard == s_
-            lseg = (u[m] * Gl + (g[m] - s_ * Gl)) * N + c[m]
-            lidx = t[m] * Bl + (col[m] - s_ * Bl)
-            packs.append(self._pack_plan(lidx, lseg, T * Bl))
-        K = max(p[0].shape[0] for p in packs)
-        idx2 = np.zeros((dp, K), np.int32)
-        seg2 = np.zeros((dp, K), np.int32)
-        nn = np.zeros((dp,), np.int32)
-        for s_, (i_, s__, n_) in enumerate(packs):
-            idx2[s_, : len(i_)], seg2[s_, : len(s__)], nn[s_] = i_, s__, n_
-        return jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
+
+        def localize(idx, seg):
+            col = idx % B
+            g = col // N
+            u = seg // (G * N)
+            c = seg % N
+            return (g // Gl, (idx // B) * Bl + col,
+                    (u * Gl + g) * N + c, Bl, Gl * N)
+
+        return self._split_plan(plan, T * Bl, localize)
 
     def _score_carry_packed(self, nbest, word2idx, stream_fn=None, enc_all=None):
         rc = self.rcfg
