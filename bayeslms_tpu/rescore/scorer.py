@@ -38,6 +38,7 @@ from ..core.config import ModelConfig, RescoreConfig
 from ..core.registry import build_model
 from ..models.lstm_lm import init_hidden
 from .nbest import bucket_for, encode_hyp, length_buckets, pad_batch
+from ..utils.gcquiet import quiet_gc
 
 
 def _masked_ce_sums(logits, targets, mask):
@@ -660,6 +661,20 @@ class BatchScorer:
 
     # ------------------------------------------------------------ public API
     def score_nbest(
+        self,
+        nbest: "OrderedDict[str, List[str]]",
+        word2idx: Dict[str, int],
+        stream_fn=None,
+        context_map: Optional[Dict[str, str]] = None,
+    ):
+        # cyclic GC suppressed for the pass: a gen-2 sweep of the JAX-loaded
+        # heap measures ~110 ms on this host — longer than a warm pass — and
+        # per-pass garbage is acyclic (refcount-freed) anyway
+        with quiet_gc():
+            return self._score_nbest_impl(nbest, word2idx, stream_fn,
+                                          context_map)
+
+    def _score_nbest_impl(
         self,
         nbest: "OrderedDict[str, List[str]]",
         word2idx: Dict[str, int],

@@ -94,3 +94,36 @@ def test_checkpoint_save_is_atomic(tmp_path):
     leftovers = [p.name for p in tmp_path.iterdir()
                  if ".tmp." in p.name and p.name != "m.ckpt.tmp.99999"]
     assert leftovers == [], leftovers
+
+
+def test_quiet_gc_suppresses_and_restores():
+    """quiet_gc disables the cyclic collector for the block (a gen-2 sweep
+    of the JAX heap costs ~110 ms — longer than a warm rescoring pass),
+    restores the prior state on exit, is nest- and exception-safe, and
+    leaves an already-disabled collector untouched."""
+    import gc
+
+    from bayeslms_tpu.utils.gcquiet import quiet_gc
+
+    assert gc.isenabled()
+    with quiet_gc():
+        assert not gc.isenabled()
+        with quiet_gc():  # nested block must not re-enable on its exit
+            assert not gc.isenabled()
+        assert not gc.isenabled()
+    assert gc.isenabled()
+
+    try:
+        with quiet_gc():
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert gc.isenabled()
+
+    gc.disable()
+    try:
+        with quiet_gc():
+            assert not gc.isenabled()
+        assert not gc.isenabled()  # was disabled before: stays disabled
+    finally:
+        gc.enable()
