@@ -1,0 +1,56 @@
+"""Emit the same-init per-epoch parity table (markdown) for CONVERGENCE.md.
+
+Pairs a torch train.log with a same_init_parity.py log (both print the
+reference's epoch-summary line format) and tabulates valid PPL + ratio.
+
+Usage:
+  python tools/sameinit_table.py exp/campaign/torch_tm_base/train.log \
+      exp/campaign/ours_tm_base_sameinit.log
+"""
+
+import math
+import re
+import sys
+
+EPOCH = re.compile(r"\| end of epoch\s+(\d+) \| time:\s*([0-9.]+)s "
+                   r"\| valid loss\s*([0-9.]+) \| valid ppl\s*([0-9.]+)")
+FINAL = re.compile(r"\| End of training \| test loss\s*([0-9.]+) "
+                   r"\| test ppl\s*([0-9.]+)")
+# same_init_parity.py also prints the full-precision loss list
+LOSSES = re.compile(r"per-epoch valid_loss: \[([^\]]+)\]")
+TEST = re.compile(r"test_loss: ([0-9.]+)")
+
+
+def parse(path):
+    txt = open(path, errors="ignore").read()
+    m = LOSSES.search(txt)
+    if m:  # ours: full-precision losses
+        ppl = [math.exp(float(x)) for x in m.group(1).split(",")]
+        t = TEST.search(txt)
+        test = math.exp(float(t.group(1))) if t else None
+        return ppl, test
+    ppl = [float(e[3]) for e in EPOCH.findall(txt)]
+    f = FINAL.search(txt)
+    return ppl, (float(f.group(2)) if f else None)
+
+
+def main():
+    torch_ppl, torch_test = parse(sys.argv[1])
+    ours_ppl, ours_test = parse(sys.argv[2])
+    n = min(len(torch_ppl), len(ours_ppl))
+    print("| epoch | torch valid ppl | ours valid ppl | ratio |")
+    print("|---|---|---|---|")
+    devs = []
+    for i in range(n):
+        r = ours_ppl[i] / torch_ppl[i]
+        devs.append(abs(r - 1))
+        print(f"| {i + 1} | {torch_ppl[i]:.2f} | {ours_ppl[i]:.2f} | {r:.4f} |")
+    print()
+    line = f"Max per-epoch deviation {max(devs) * 100:.2f}%"
+    if torch_test and ours_test:
+        line += f"; final test-PPL ratio {ours_test / torch_test:.4f}"
+    print(line + f" (over {n} shared epochs).")
+
+
+if __name__ == "__main__":
+    main()
