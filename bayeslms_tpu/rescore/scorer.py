@@ -667,6 +667,13 @@ class BatchScorer:
         stream_fn=None,
         context_map: Optional[Dict[str, str]] = None,
     ):
+        """``stream_fn(utt_key) -> stream label`` partitions utterances into
+        independent carry-over chains (one per recording/conversation).
+        Chains run in PARALLEL on the chip while utterances within a chain
+        stay serial — semantically per-recording carry-over, which is what
+        cross-utterance context means (the reference's nj=5 sharding even
+        splits chains arbitrarily mid-recording). Default: one global chain
+        (bit-faithful to the reference's single-job order)."""
         # cyclic GC suppressed for the pass: a gen-2 sweep of the JAX-loaded
         # heap measures ~110 ms on this host — longer than a warm pass — and
         # per-pass garbage is acyclic (refcount-freed) anyway
@@ -681,13 +688,6 @@ class BatchScorer:
         stream_fn=None,
         context_map: Optional[Dict[str, str]] = None,
     ):
-        """``stream_fn(utt_key) -> stream label`` partitions utterances into
-        independent carry-over chains (one per recording/conversation).
-        Chains run in PARALLEL on the chip while utterances within a chain
-        stay serial — semantically per-recording carry-over, which is what
-        cross-utterance context means (the reference's nj=5 sharding even
-        splits chains arbitrarily mid-recording). Default: one global chain
-        (bit-faithful to the reference's single-job order)."""
         if context_map is None and self.rcfg.splice_len > 0:
             # auto seg_wise: splice each utterance with the FIRST hypothesis
             # of the previous utterance in its chain (the dev scorer reads

@@ -105,7 +105,7 @@ def test_quiet_gc_suppresses_and_restores():
 
     from bayeslms_tpu.utils.gcquiet import quiet_gc
 
-    assert gc.isenabled()
+    gc.enable()  # force a known ambient state (order-independent)
     with quiet_gc():
         assert not gc.isenabled()
         with quiet_gc():  # nested block must not re-enable on its exit

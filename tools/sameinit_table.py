@@ -9,13 +9,14 @@ Usage:
 """
 
 import math
+import os
 import re
 import sys
 
-EPOCH = re.compile(r"\| end of epoch\s+(\d+) \| time:\s*([0-9.]+)s "
-                   r"\| valid loss\s*([0-9.]+) \| valid ppl\s*([0-9.]+)")
-FINAL = re.compile(r"\| End of training \| test loss\s*([0-9.]+) "
-                   r"\| test ppl\s*([0-9.]+)")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# one copy of the reference epoch-summary parsers (width-sensitive patterns)
+from convergence_report import EPOCH, FINAL  # noqa: E402
+
 # same_init_parity.py also prints the full-precision loss list
 LOSSES = re.compile(r"per-epoch valid_loss: \[([^\]]+)\]")
 TEST = re.compile(r"test_loss: ([0-9.]+)")
@@ -37,6 +38,10 @@ def parse(path):
 def main():
     torch_ppl, torch_test = parse(sys.argv[1])
     ours_ppl, ours_test = parse(sys.argv[2])
+    for path, ppl in [(sys.argv[1], torch_ppl), (sys.argv[2], ours_ppl)]:
+        if not ppl:
+            sys.exit(f"no epoch-summary lines parsed from {path} "
+                     "(wrong file, truncated log, or changed format?)")
     n = min(len(torch_ppl), len(ours_ppl))
     print("| epoch | torch valid ppl | ours valid ppl | ratio |")
     print("|---|---|---|---|")
