@@ -25,12 +25,15 @@ TEST = re.compile(r"test_loss: ([0-9.]+)")
 def parse(path):
     txt = open(path, errors="ignore").read()
     m = LOSSES.search(txt)
-    if m:  # ours: full-precision losses
-        ppl = [math.exp(float(x)) for x in m.group(1).split(",")]
+    if m:  # ours: full-precision losses (list position = epoch)
+        ppl = {i + 1: math.exp(float(x))
+               for i, x in enumerate(m.group(1).split(","))}
         t = TEST.search(txt)
-        test = math.exp(float(t.group(1))) if t else None
-        return ppl, test
-    ppl = [float(e[3]) for e in EPOCH.findall(txt)]
+        return ppl, (math.exp(float(t.group(1))) if t else None)
+    # torch: key on the printed epoch number, not file position — a
+    # truncated/interleaved log (VM reset, duplicate writer) can lose lines
+    # and positional indexing would silently shift every row.
+    ppl = {int(e[0]): float(e[3]) for e in EPOCH.findall(txt)}
     f = FINAL.search(txt)
     return ppl, (float(f.group(2)) if f else None)
 
@@ -42,19 +45,21 @@ def main():
         if not ppl:
             sys.exit(f"no epoch-summary lines parsed from {path} "
                      "(wrong file, truncated log, or changed format?)")
-    n = min(len(torch_ppl), len(ours_ppl))
+    shared = sorted(set(torch_ppl) & set(ours_ppl))
+    if not shared:
+        sys.exit("no shared epochs between the two logs")
     print("| epoch | torch valid ppl | ours valid ppl | ratio |")
     print("|---|---|---|---|")
     devs = []
-    for i in range(n):
-        r = ours_ppl[i] / torch_ppl[i]
+    for ep in shared:
+        r = ours_ppl[ep] / torch_ppl[ep]
         devs.append(abs(r - 1))
-        print(f"| {i + 1} | {torch_ppl[i]:.2f} | {ours_ppl[i]:.2f} | {r:.4f} |")
+        print(f"| {ep} | {torch_ppl[ep]:.2f} | {ours_ppl[ep]:.2f} | {r:.4f} |")
     print()
     line = f"Max per-epoch deviation {max(devs) * 100:.2f}%"
     if torch_test and ours_test:
         line += f"; final test-PPL ratio {ours_test / torch_test:.4f}"
-    print(line + f" (over {n} shared epochs).")
+    print(line + f" (over {len(shared)} shared epochs).")
 
 
 if __name__ == "__main__":
