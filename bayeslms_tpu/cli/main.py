@@ -89,7 +89,7 @@ def cmd_train(args) -> int:
         log_interval=args.log_interval, data_fraction=args.data_fraction,
         prior=args.prior, prior_path=args.prior_path, prior_kl=args.prior_kl,
         save=args.save, rng_impl=args.rng_impl, dp_shards=args.dp_shards,
-        profile_dir=args.profile,
+        profile_dir=args.profile, resume=args.resume,
     )
     mesh = None
     if args.tp_shards > 1 or args.multihost:
@@ -324,6 +324,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tp-shards", type=int, default=1,
                    help="tensor-parallel shards (vocab/FFN/gate sharding)")
     t.add_argument("--save", default="model.ckpt")
+    t.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from <save>.resume "
+                        "(full state: params+momentum+schedule); the "
+                        "reference's flag was wired out (train.py:92-93)")
     t.add_argument("--multihost", action="store_true",
                    help="join a jax.distributed multi-host job (coordinator "
                         "from JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"

@@ -187,3 +187,20 @@ def test_cli_interp_second_model_from_sidecar(corpus_dir):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="requires --inter_path"):
         scores_of(["--interpolation_flag", "1"])
+
+
+def test_cli_train_resume_flag(corpus_dir, capsys):
+    """--resume continues an interrupted run from <save>.resume (the
+    reference's flag existed but was wired out, train.py:92-93)."""
+    save = str(corpus_dir / "r.ckpt")
+    common = [
+        "train", "--data", str(corpus_dir), "--model", "LSTM",
+        "--emsize", "8", "--nhid", "8", "--seq_len", "8",
+        "--batch-size", "4", "--eval-batch-size", "4", "--lr", "1.0",
+        "--save", save, "--resume",
+    ]
+    assert main(common + ["--epochs", "1"]) == 0
+    assert os.path.exists(save + ".resume")
+    capsys.readouterr()
+    assert main(common + ["--epochs", "2"]) == 0
+    assert "resumed from epoch 1" in capsys.readouterr().out
