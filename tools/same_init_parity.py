@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--uncertainty", default="none",
                     choices=["none", "Bayesian", "Gaussian"])
     ap.add_argument("--l_bayes_pos", type=int, default=3)
+    ap.add_argument("--t_bayes_pos", default="FFN",
+                    choices=["none", "FFN", "MHA", "EMB"])
     ap.add_argument("--t_gauss_pos", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
@@ -92,6 +94,11 @@ def main():
             ref_model = refM.GaussTransformerModel(
                 V, args.emsize, args.nhead, args.nhid, args.nlayers,
                 args.dropout, True, args.t_gauss_pos)
+        elif args.uncertainty == "Bayesian":
+            # single-model construction (train.py:200-202)
+            ref_model = refM.BayesTransformerModel(
+                V, args.emsize, args.nhead, args.nhid, args.nlayers,
+                args.dropout, True, args.t_bayes_pos)
         else:
             # none: model_2 then model, gelu (train.py:195-198)
             _model_2 = refM.TransformerModel(V, args.emsize, args.nhead,
@@ -125,6 +132,7 @@ def main():
                       nhid=args.nhid, nlayers=args.nlayers, nhead=args.nhead,
                       dropout=args.dropout, uncertainty=args.uncertainty,
                       l_bayes_pos=args.l_bayes_pos,
+                      t_bayes_pos=args.t_bayes_pos,
                       t_gauss_pos=args.t_gauss_pos)
     params = init_params(build_model(cfg), cfg)
     merged, updated = partial_update(params, import_torch_state_dict(sd, cfg))
