@@ -59,11 +59,13 @@ def main():
                     choices=["LSTM", "Transformer"])
     ap.add_argument("--nhead", type=int, default=4)
     ap.add_argument("--uncertainty", default="none",
-                    choices=["none", "Bayesian", "Gaussian"])
+                    choices=["none", "Bayesian", "Gaussian", "Variational"])
     ap.add_argument("--l_bayes_pos", type=int, default=3)
     ap.add_argument("--t_bayes_pos", default="FFN",
                     choices=["none", "FFN", "MHA", "EMB"])
     ap.add_argument("--t_gauss_pos", type=int, default=3)
+    ap.add_argument("--l_v_pos", default="11")
+    ap.add_argument("--t_v_pos", type=int, default=1)
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
                     help="e.g. cpu to force off-TPU")
@@ -99,6 +101,11 @@ def main():
             ref_model = refM.BayesTransformerModel(
                 V, args.emsize, args.nhead, args.nhid, args.nlayers,
                 args.dropout, True, args.t_bayes_pos)
+        elif args.uncertainty == "Variational":
+            # single-model construction (train.py:207-208)
+            ref_model = refM.VTransformerModel(
+                V, args.emsize, args.nhead, args.nhid, args.nlayers,
+                args.dropout, True, args.t_v_pos)
         else:
             # none: model_2 then model, gelu (train.py:195-198)
             _model_2 = refM.TransformerModel(V, args.emsize, args.nhead,
@@ -113,6 +120,12 @@ def main():
         ref_model = refM.BayesRNNModel("LSTM", V, args.emsize, args.nhid,
                                        args.nlayers, args.dropout, True,
                                        args.l_bayes_pos)
+    elif args.uncertainty == "Variational":
+        # single-model construction (train.py:222-223)
+        ref_model = refM.VariationalRNNModel("LSTM", V, args.emsize,
+                                             args.nhid, args.nlayers,
+                                             args.dropout, True,
+                                             args.l_v_pos)
     else:
         _model_2 = refM.RNNModel("LSTM", V, args.emsize, args.nhid,
                                  args.nlayers, args.dropout, True)
@@ -133,7 +146,9 @@ def main():
                       dropout=args.dropout, uncertainty=args.uncertainty,
                       l_bayes_pos=args.l_bayes_pos,
                       t_bayes_pos=args.t_bayes_pos,
-                      t_gauss_pos=args.t_gauss_pos)
+                      t_gauss_pos=args.t_gauss_pos,
+                      l_v_pos=args.l_v_pos,
+                      t_v_pos=args.t_v_pos)
     params = init_params(build_model(cfg), cfg)
     merged, updated = partial_update(params, import_torch_state_dict(sd, cfg))
     print(f"imported {len(updated)} tensors from the reference init")
