@@ -374,6 +374,83 @@ def test_binary_marker_on_text_input_errors(tmp_path):
     assert "magic" in proc.stderr or "truncated" in proc.stderr
 
 
+def test_binary_reader_malformed_inputs(tmp_path):
+    """Fuzz-shaped robustness of the binary CompactLattice reader: corrupt
+    length fields, truncations, and random byte flips must produce a clean
+    nonzero exit (die() with a message), never a signal death (segfault /
+    OOM-kill from an alloc-before-validate) or a hang."""
+    import gzip
+    import struct
+
+    def run(path):
+        return subprocess.run(
+            [tool("lattice_copy"), str(path), str(tmp_path / "out")],
+            capture_output=True, text=True, errors="replace", timeout=20)
+
+    def pstr(s):
+        return struct.pack("<i", len(s)) + s.encode()
+
+    header = (b"u1 \x00B" + struct.pack("<i", 2125659606) + pstr("vector") +
+              pstr("compactlattice44") + struct.pack("<ii", 2, 0) +
+              struct.pack("<Q", 0) + struct.pack("<qqq", 0, 1, 1))
+
+    # corrupt alignment length on state 0's final weight: claims 2^25 int32s
+    # with zero bytes behind it — must die BEFORE allocating 128 MB
+    inf = float("inf")
+    huge_ali = header + struct.pack("<ffi", inf, inf, 1 << 25) + b"\x00" * 8
+    p = tmp_path / "huge_ali.ark"
+    p.write_bytes(huge_ali)
+    proc = run(p)
+    assert proc.returncode != 0 and proc.returncode >= 0
+    assert "alignment" in proc.stderr
+
+    # absurd state / arc counts similarly die on the remaining-bytes bound
+    bad_states = (b"u1 \x00B" + struct.pack("<i", 2125659606) + pstr("vector") +
+                  pstr("compactlattice44") + struct.pack("<ii", 2, 0) +
+                  struct.pack("<Q", 0) + struct.pack("<qqq", 0, 1 << 27, 1))
+    p = tmp_path / "states.ark"
+    p.write_bytes(bad_states)
+    proc = run(p)
+    assert proc.returncode != 0 and "state count" in proc.stderr
+
+    bad_arcs = header + struct.pack("<ffiq", inf, 1.0, 0, 1 << 27)
+    p = tmp_path / "arcs.ark"
+    p.write_bytes(bad_arcs)
+    proc = run(p)
+    assert proc.returncode != 0 and "arc count" in proc.stderr
+
+    # a real entry truncated at every prefix length parses or dies cleanly
+    lat = tmp_path / "lats.txt"
+    lat.write_text(LATTICE)
+    full_bin = tmp_path / "full.ark"
+    subprocess.run([tool("lattice_copy"), "--binary", str(lat), str(full_bin)],
+                   check=True, capture_output=True)
+    blob = full_bin.read_bytes()
+    for cut in range(3, len(blob), 7):
+        p = tmp_path / "cut.ark"
+        p.write_bytes(blob[:cut])
+        proc = run(p)
+        assert proc.returncode >= 0, f"signal death at cut={cut}"
+
+    # random single-byte flips: clean exit either way, never a crash
+    rng = np.random.RandomState(0)
+    for _ in range(64):
+        i = int(rng.randint(len(blob)))
+        mut = bytearray(blob)
+        mut[i] ^= 1 << int(rng.randint(8))
+        p = tmp_path / "flip.ark"
+        p.write_bytes(bytes(mut))
+        proc = run(p)
+        assert proc.returncode >= 0, f"signal death flipping byte {i}"
+
+    # truncated gzip stream: clean zlib error, not a crash
+    gz = tmp_path / "trunc.gz"
+    gz.write_bytes(gzip.compress(blob)[:40])
+    proc = run(gz)
+    assert proc.returncode != 0 and proc.returncode >= 0
+    assert "gzip" in proc.stderr or "truncated" in proc.stderr
+
+
 def test_adversarial_lattice_eps_multifinal_dup(tmp_path):
     """Real-data-shaped hazards: epsilon (word 0) arcs contribute cost but no
     words, several final states with distinct final costs all terminate

@@ -86,6 +86,7 @@ class BinReader {
 
   bool eof() const { return pos_ >= d_.size(); }
   size_t pos() const { return pos_; }
+  size_t remaining() const { return d_.size() - pos_; }
 
   template <class T>
   T get() {
@@ -141,7 +142,11 @@ inline CLWeight read_cl_weight(BinReader& r) {
   w.graph = r.get<float>();
   w.acoustic = r.get<float>();
   int32_t n = r.get<int32_t>();
-  if (n < 0 || n > (1 << 26)) die("implausible alignment length");
+  // validate against the bytes actually present BEFORE allocating — a
+  // corrupt length field must not buy a multi-hundred-MB resize
+  if (n < 0 || n > (1 << 26) ||
+      (size_t)n * sizeof(int32_t) > r.remaining())
+    die("implausible alignment length");
   w.ali.resize(n);
   for (int32_t i = 0; i < n; ++i) w.ali[i] = r.get<int32_t>();
   return w;
@@ -179,7 +184,10 @@ inline void read_binary_compact_lattice(BinReader& r, Lattice* lat) {
   int64_t start = r.get<int64_t>();
   int64_t nstates = r.get<int64_t>();
   (void)r.get<int64_t>();  // numarcs (redundant with per-state counts)
-  if (nstates < 0 || nstates > (1 << 28)) die("implausible state count");
+  // each state occupies >= 20 bytes (12-byte zero-ali final + 8-byte narcs)
+  if (nstates < 0 || nstates > (1 << 28) ||
+      (uint64_t)nstates * 20 > r.remaining())
+    die("implausible state count");
   lat->num_states = (int32_t)nstates;
   for (int64_t s = 0; s < nstates; ++s) {
     CLWeight fin = read_cl_weight(r);
@@ -188,7 +196,10 @@ inline void read_binary_compact_lattice(BinReader& r, Lattice* lat) {
       if (!fin.ali.empty()) lat->final_ali[(int32_t)s] = join_ali(fin.ali);
     }
     int64_t narcs = r.get<int64_t>();
-    if (narcs < 0 || narcs > (1 << 28)) die("implausible arc count");
+    // each arc occupies >= 24 bytes (labels + zero-ali weight + nextstate)
+    if (narcs < 0 || narcs > (1 << 28) ||
+        (uint64_t)narcs * 24 > r.remaining())
+      die("implausible arc count");
     for (int64_t a = 0; a < narcs; ++a) {
       Arc arc;
       arc.src = (int32_t)s;
