@@ -99,6 +99,23 @@ if __name__ == "__main__":
                     dropout=0.2, compute_dtype="bfloat16",
                     uncertainty="Bayesian", l_bayes_pos=3),
     )
+    # GP / Variational families: the reference runs these as per-timestep
+    # python loops (model.py:1720-1742, :2503-2513 — its #1 bottleneck,
+    # SURVEY §3.1); here they are lax.scan cells like the standard LSTM.
+    # FLOPs model = the base LSTM/TM matmuls, so GP MFU is a lower bound
+    # (the GPNN activation mixture's extra matmuls are not counted).
+    if which in ("all", "gp-lstm"): bench_model(
+        "GP-LSTM-1024x2 (L_gauss_pos=63)",
+        ModelConfig(model="LSTM", vocab_size=V, emsize=1024, nhid=1024,
+                    dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Gaussian", l_gauss_pos="63"),
+    )
+    if which in ("all", "v-lstm"): bench_model(
+        "V-LSTM-1024x2 (L_v_pos=11)",
+        ModelConfig(model="LSTM", vocab_size=V, emsize=1024, nhid=1024,
+                    dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Variational", l_v_pos="11"),
+    )
     if which in ("all", "tm"): bench_model(
         "Transformer-512/4096x6 (none)",
         ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
@@ -109,4 +126,16 @@ if __name__ == "__main__":
         ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
                     nlayers=6, nhead=8, dropout=0.2, compute_dtype="bfloat16",
                     uncertainty="Bayesian", t_bayes_pos="FFN"),
+    )
+    if which in ("all", "gauss-tm"): bench_model(
+        "Transformer-512/4096x6 (GPNN type-3 FFN)",
+        ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
+                    nlayers=6, nhead=8, dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Gaussian", t_gauss_pos=3),
+    )
+    if which in ("all", "v-tm"): bench_model(
+        "Transformer-512/4096x6 (V layer0)",
+        ModelConfig(model="Transformer", vocab_size=V, emsize=512, nhid=4096,
+                    nlayers=6, nhead=8, dropout=0.2, compute_dtype="bfloat16",
+                    uncertainty="Variational", t_v_pos=1),
     )
