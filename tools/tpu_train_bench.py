@@ -16,6 +16,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same dir as bench.py): flagship train steps
+# compile in minutes cold on the tunnel chip, seconds warm
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 V5E_PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16 FLOP/s
 
