@@ -7,12 +7,24 @@ attribute that is never assigned anywhere (model.py:2785; forward assigns
 AttributeError — evidence: exp/campaign/torch_vtm/train.log (the unmodified
 run crashes on batch 1).
 
-This driver applies the minimal one-token repair — read ``self.hidden``,
-the stored FFN output and the only tensor in scope matching the name —
-which is exactly the interpretation this framework implements
-(bayeslms_tpu/models/transformer_lm.py VEncoderLayer docstring), then runs
-the reference's train.py unmodified. The resulting run is the same-init
-twin for the V-Transformer family.
+Two minimal repairs are required (both documented in
+bayeslms_tpu/models/transformer_lm.py VEncoderLayer, which implements the
+repaired semantics):
+
+1. ``sample_weight_diff`` reads ``self.hidden`` (the stored FFN output, the
+   only tensor in scope matching the name) instead of the never-assigned
+   ``self.hiddens``.
+2. ``forward``'s ``src2 += self.sample_weight_diff()`` (model.py:2802-2803)
+   becomes the out-of-place ``src2 = src2 + ...``: the in-place add mutates
+   the very tensor ``sample_weight_diff`` just saved for ``exp``'s backward
+   (``exp(hidden * lgstd)`` with ``hidden is src2``), so even after repair 1
+   autograd's version counter rejects the graph on ``loss.backward()``
+   (evidence: exp/campaign/torch_vtm_fixed/train.log). Out-of-place also
+   keeps ``self.hidden`` pointing at the PRE-noise FFN output, which is what
+   ``kl_divergence`` (model.py:2770-2781) reads.
+
+With both patches applied the reference's train.py runs unmodified; the
+resulting run is the same-init twin for the V-Transformer family.
 
 Usage: PYTHONPATH not needed; argv after the script name is passed to
 train.py verbatim.
@@ -37,7 +49,24 @@ def sample_weight_diff(self):
     return 0
 
 
+def forward(self, src, src_mask=None):
+    # model.py:2793-2806 with the noise add made out-of-place (repair 2)
+    src2 = self.self_attn(src, src, src, attn_mask=src_mask)[0]
+    src = src + self.dropout1(src2)
+    src = self.norm1(src)
+
+    src2 = self.linear2(self.dropout(self.activation(self.linear1(src))))
+    self.hidden = src2
+    if self.training and src2.size()[0] == 100:
+        src2 = src2 + self.sample_weight_diff()
+
+    src = src + self.dropout2(src2)
+    src = self.norm2(src)
+    return src
+
+
 model.VTransformerEncoderLayer.sample_weight_diff = sample_weight_diff
+model.VTransformerEncoderLayer.forward = forward
 
 sys.argv = ["train.py"] + sys.argv[1:]
 runpy.run_path("/root/reference/steps/pytorchnn/train.py", run_name="__main__")
