@@ -20,12 +20,39 @@ _LIB_PATHS = [
 ]
 
 _lib = None
+_build_tried = False
+
+
+def _try_autobuild() -> None:
+    """Best-effort `make -C tools` when the .so is missing.
+
+    The shared library is a build artifact (gitignored), so a fresh clone or
+    a wiped build dir would otherwise silently drop every native fast path
+    (the batch hypothesis encoder alone is ~30% of a warm rescoring pass).
+    One attempt per process; BAYESLM_NO_AUTOBUILD=1 opts out.
+    """
+    global _build_tried
+    if _build_tried or os.environ.get("BAYESLM_NO_AUTOBUILD") == "1":
+        return
+    _build_tried = True
+    tools_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tools"))
+    if not os.path.exists(os.path.join(tools_dir, "Makefile")):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", tools_dir], capture_output=True,
+                       timeout=300, check=False)
+    except Exception:
+        pass
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+        _try_autobuild()
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

@@ -7,7 +7,7 @@ attribute that is never assigned anywhere (model.py:2785; forward assigns
 AttributeError — evidence: exp/campaign/torch_vtm/train.log (the unmodified
 run crashes on batch 1).
 
-Two minimal repairs are required (both documented in
+Three minimal repairs are required (all documented in
 bayeslms_tpu/models/transformer_lm.py VEncoderLayer, which implements the
 repaired semantics):
 
@@ -23,7 +23,17 @@ repaired semantics):
    keeps ``self.hidden`` pointing at the PRE-noise FFN output, which is what
    ``kl_divergence`` (model.py:2770-2781) reads.
 
-With both patches applied the reference's train.py runs unmodified; the
+3. ``kl_divergence`` (model.py:2770-2781) computes
+   ``prior_mean = self.hidden * self.hiddens_mean_p`` BEFORE its own
+   ``self.hidden.size()[0] == 100`` gate, so the epoch's ragged final window
+   (99 steps on this corpus) crashes on a (99,B,d)×(100,1,d) broadcast —
+   evidence: the first exp/campaign/torch_vtm_fixed/train.log (two-patch run
+   dies at batch 375 of epoch 1). Repair: hoist the existing gate above the
+   prior computation; KL for short windows is 0, exactly the semantics the
+   gate already encodes (and what VEncoderLayer's ``T == v_seq_len`` branch
+   implements).
+
+With the patches applied the reference's train.py runs unmodified; the
 resulting run is the same-init twin for the V-Transformer family.
 
 Usage: PYTHONPATH not needed; argv after the script name is passed to
@@ -49,6 +59,20 @@ def sample_weight_diff(self):
     return 0
 
 
+def kl_divergence(self):
+    # model.py:2770-2781 with the size gate hoisted above the prior math
+    # (repair 3): the prior tables are (100, 1, d), so the ragged final
+    # window's (99, B, d) hidden cannot broadcast against them.
+    kl = 0
+    if self.training and self.hidden.size()[0] == 100:
+        prior_mean = self.hidden * self.hiddens_mean_p
+        kl += torch.mean(
+            (self.hidden - prior_mean) ** 2.
+            - self.hiddens_lgstd * 2.
+            + torch.exp(self.hiddens_lgstd * 2)) / 2.
+    return kl
+
+
 def forward(self, src, src_mask=None):
     # model.py:2793-2806 with the noise add made out-of-place (repair 2)
     src2 = self.self_attn(src, src, src, attn_mask=src_mask)[0]
@@ -66,6 +90,7 @@ def forward(self, src, src_mask=None):
 
 
 model.VTransformerEncoderLayer.sample_weight_diff = sample_weight_diff
+model.VTransformerEncoderLayer.kl_divergence = kl_divergence
 model.VTransformerEncoderLayer.forward = forward
 
 sys.argv = ["train.py"] + sys.argv[1:]
