@@ -127,3 +127,45 @@ def test_quiet_gc_suppresses_and_restores():
         assert not gc.isenabled()  # was disabled before: stays disabled
     finally:
         gc.enable()
+
+
+def test_native_autobuild_gating(monkeypatch, tmp_path):
+    """_try_autobuild runs `make -C tools` at most once per process, and
+    BAYESLM_NO_AUTOBUILD=1 opts out entirely (a wiped build dir must not
+    silently drop the native fast paths — but the opt-out must hold for
+    environments where spawning make is unwanted)."""
+    from bayeslms_tpu.data import native
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+
+    # opt-out: no invocation, and the one-shot latch is NOT consumed
+    monkeypatch.setattr(native, "_build_tried", False)
+    monkeypatch.setenv("BAYESLM_NO_AUTOBUILD", "1")
+    native._try_autobuild()
+    assert calls == []
+    assert native._build_tried is False
+
+    # enabled: exactly one make invocation targeting the tools dir,
+    # second call is a no-op (one attempt per process)
+    monkeypatch.delenv("BAYESLM_NO_AUTOBUILD")
+    native._try_autobuild()
+    native._try_autobuild()
+    assert len(calls) == 1
+    assert calls[0][:2] == ["make", "-C"]
+    assert calls[0][2].endswith("tools")
+    assert native._build_tried is True
+
+    # restore the module latch for other tests in this process
+    monkeypatch.setattr(native, "_build_tried", False)
