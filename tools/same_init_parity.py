@@ -64,17 +64,25 @@ def main():
     ap.add_argument("--t_bayes_pos", default="FFN",
                     choices=["none", "FFN", "MHA", "EMB"])
     ap.add_argument("--t_gauss_pos", type=int, default=3)
+    ap.add_argument("--l_gauss_pos", default="13")
     ap.add_argument("--l_v_pos", default="11")
     ap.add_argument("--t_v_pos", type=int, default=1)
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
                     help="e.g. cpu to force off-TPU")
+    ap.add_argument("--matmul-precision", default=None,
+                    help="jax_default_matmul_precision override (e.g. "
+                         "'highest' for true-f32 MXU passes — the "
+                         "precision A/B for the LSTM same-init drift)")
     args = ap.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     import torch
 
@@ -120,6 +128,11 @@ def main():
         ref_model = refM.BayesRNNModel("LSTM", V, args.emsize, args.nhid,
                                        args.nlayers, args.dropout, True,
                                        args.l_bayes_pos)
+    elif args.uncertainty == "Gaussian":
+        # single-model construction (train.py:218-220) — GPLSTM core
+        ref_model = refM.GaussRNNModel("LSTM", V, args.emsize, args.nhid,
+                                       args.nlayers, args.dropout, True,
+                                       args.l_gauss_pos)
     elif args.uncertainty == "Variational":
         # single-model construction (train.py:222-223)
         ref_model = refM.VariationalRNNModel("LSTM", V, args.emsize,
@@ -147,6 +160,7 @@ def main():
                       l_bayes_pos=args.l_bayes_pos,
                       t_bayes_pos=args.t_bayes_pos,
                       t_gauss_pos=args.t_gauss_pos,
+                      l_gauss_pos=args.l_gauss_pos,
                       l_v_pos=args.l_v_pos,
                       t_v_pos=args.t_v_pos)
     params = init_params(build_model(cfg), cfg)
