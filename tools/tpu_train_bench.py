@@ -32,22 +32,72 @@ except Exception:
 V5E_PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16 FLOP/s
 
 
+def _gp_cell_delta(g, t, in_size, H):
+    """Per-token fwd matmul-FLOP delta of one GPLSTMCell vs a standard LSTM
+    layer of the same geometry (models/lstm_lm.py GPLSTMCell). Gates 1-5 ADD
+    a GP matmul while the base 4H projections still run; gates 6/7 REPLACE a
+    same-shape projection (delta 0); GPNN2 (type 4) adds the random-feature
+    and readout matmuls on top of the base gates."""
+    if g == 0:
+        return 0
+    if t <= 3:
+        if g in (1, 2, 3, 4):  # GPNN over cat(x, h) -> H
+            return 2 * H * (in_size + H)
+        if g == 5:             # GPNN cell transform H -> H
+            return 2 * H * H
+        return 0               # 6/7: replacement, same shape
+    out = H if g <= 5 else 4 * H  # type 4: GPNN2 on the gate value
+    return 2 * (H * 150 + 150 * out)
+
+
+def gp_flops_delta(cfg):
+    """Per-token fwd matmul-FLOP delta of the GP family vs the base model.
+
+    GPNN types 0-3 are REPLACEMENT units — `y = sum_i coef_i act_i(Wx+b)`
+    (model.py:1780-1906) has exactly one matmul, the same shape as the
+    linear it replaces; the activation mixture is elementwise (VPU). Only
+    the cat(x,h) gate units, the cell transform, and GPNN2's random
+    features (model.py:2036-2102) change the MXU count."""
+    if cfg.uncertainty != "Gaussian":
+        return 0
+    H, E = cfg.nhid, cfg.emsize
+    if cfg.is_transformer:
+        p = cfg.t_gauss_pos
+        if 1 <= p <= 3:
+            return 0  # GPNN replaces linear1 (E -> F), same shape
+        if p == 4:    # GPNN2 replaces linear1: freq + readout vs E*F
+            return 2 * (E * 150 + 150 * H) - 2 * E * H
+        return 0
+    s = cfg.l_gauss_pos
+    if int(s[0]) == 0:
+        return 0
+    if len(s) == 2:    # GP cell layer 1 (in = E) + standard layer 2
+        return _gp_cell_delta(int(s[0]), int(s[1]), E, H)
+    if len(s) == 3:    # standard layer 1 + GP cell layer 2 (in = H)
+        return _gp_cell_delta(int(s[0]), int(s[1]), H, H)
+    return (_gp_cell_delta(int(s[0]), int(s[1]), E, H)
+            + _gp_cell_delta(int(s[2]), int(s[1]), H, H))
+
+
 def train_flops_per_step(cfg, T, B):
     """Matmul FLOPs of one optimizer step (fwd + bwd = 3x fwd, each matmul
     2*MACs): recurrent/projection/FFN weights + the tied decoder + (TM)
-    attention score/value einsums. Embedding gathers and elementwise ops are
-    excluded — they are HBM-bound, not MXU work."""
+    attention score/value einsums + the GP family's unit deltas
+    (gp_flops_delta — exact, not a lower bound). Embedding gathers and
+    elementwise ops (incl. the GP activation mixture and Bayes/Variational
+    noise adds) are excluded — they are HBM/VPU-bound, not MXU work."""
     tokens = T * B
+    gp = gp_flops_delta(cfg) * tokens * 3  # fwd + bwd
     if cfg.is_transformer:
         E, F, L, h = cfg.emsize, cfg.nhid, cfg.nlayers, cfg.nhead
         proj = L * (4 * E * E + 2 * E * F)      # qkv+o and the two FFN mats
         dec = E * cfg.vocab_size
         attn = L * 2 * (T * T * E) * B * 2      # QK^T and PV, fwd, FLOPs
-        return 6 * (proj + dec) * tokens + 3 * attn
+        return 6 * (proj + dec) * tokens + 3 * attn + gp
     H, E, L = cfg.nhid, cfg.emsize, cfg.nlayers
     rec = 4 * H * E + (L - 1) * 4 * H * H + L * 4 * H * H  # W_ih + W_hh
     dec = H * cfg.vocab_size
-    return 6 * (rec + dec) * tokens
+    return 6 * (rec + dec) * tokens + gp
 
 
 def bench_model(name, cfg, steps=20):
@@ -114,8 +164,10 @@ if __name__ == "__main__":
     # GP / Variational families: the reference runs these as per-timestep
     # python loops (model.py:1720-1742, :2503-2513 — its #1 bottleneck,
     # SURVEY §3.1); here they are lax.scan cells like the standard LSTM.
-    # FLOPs model = the base LSTM/TM matmuls, so GP MFU is a lower bound
-    # (the GPNN activation mixture's extra matmuls are not counted).
+    # FLOPs model includes the GP units' exact matmul deltas
+    # (gp_flops_delta): for the benched configs (gate-6 GPLSTM, type-3
+    # GPNN FFN) the GP unit REPLACES a same-shape matmul, so the delta is
+    # zero and the reported MFU is exact, not a lower bound.
     if which in ("all", "gp-lstm"): bench_model(
         "GP-LSTM-1024x2 (L_gauss_pos=63)",
         ModelConfig(model="LSTM", vocab_size=V, emsize=1024, nhid=1024,
