@@ -20,34 +20,32 @@ with padded, length-bucketed batches scored end-to-end under jit:
 
 Scoring runs at the posterior mean (deterministic=True), matching the
 reference's eval-mode semantics (model.py:441,459,1084).
+
+How the hypotheses are arranged on the device is a LAYOUT, selected per
+configuration from the registry in ``layouts/`` (slotted buckets, slotted
+carry, packed-time carry, bin-packed no-carry, XL memories); this module
+owns the configuration gates, the jitted-step installation, and the
+host-side encode/OOV/dispatch plumbing around a pass.
 """
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import optax
-
-import os
-
 from ..core.config import ModelConfig, RescoreConfig
 from ..core.registry import build_model
-from ..models.lstm_lm import init_hidden
-from .nbest import bucket_for, encode_hyp, length_buckets, pad_batch
 from ..utils.gcquiet import quiet_gc
+from . import layouts
+from .layouts import packed as _packed
+from .layouts import steps as _steps
+from .layouts.common import assemble, masked_ce_sums
+from .nbest import encode_hyp
 
-
-def _masked_ce_sums(logits, targets, mask):
-    """Per-column sum of token CE over real tokens: (T,B,V) -> (B,)."""
-    V = logits.shape[-1]
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits.reshape(-1, V), targets.reshape(-1)
-    ).reshape(targets.shape)
-    return (ce * mask).sum(axis=0)
+# re-export: bench.py and the tests use the scorer module as the home of
+# the masked-CE reduction
+_masked_ce_sums = masked_ce_sums
 
 
 class BatchScorer:
@@ -64,7 +62,7 @@ class BatchScorer:
         (and carry-over chains) shard over it, replacing the reference's
         nj=5 process array with SPMD over ICI. Sharded mode runs the FULL
         fused single-chip stack per shard via shard_map (fused decode+CE,
-        pallas LSTM, flash attention) — see the mesh branch below."""
+        pallas LSTM, flash attention) — see layouts/steps.py."""
         self.cfg = cfg
         self.cfg2 = cfg2 or cfg
         self.rcfg = rcfg
@@ -90,8 +88,9 @@ class BatchScorer:
         #   a*h1@W1' + (1-a)*h2@W2' == [h1, h2] @ concat(a*W1, (1-a)*W2)'
         # so ONE kernel call over concatenated hiddens scores the
         # interpolated distribution exactly (the pre-scaled concat decoder is
-        # built once, see _interp_m2); score-level (inter_flag=2,
-        # `…copy.py`:244-264) is two kernel calls combined a*ce1+(1-a)*ce2.
+        # built once, see layouts/common.interp_m2); score-level
+        # (inter_flag=2, `…copy.py`:244-264) is two kernel calls combined
+        # a*ce1+(1-a)*ce2.
         from ..ops.ce_pallas import fused_ce_ok
 
         dim = cfg.emsize if cfg.is_transformer else cfg.nhid
@@ -130,156 +129,9 @@ class BatchScorer:
             import dataclasses as _dc
 
             self.mc_model = build_model(_dc.replace(cfg, dropout=0.0))
-            self._mc_step = jax.jit(self._mc_impl)
-            self._mc_fused_step = jax.jit(self._mc_fused_impl)
             if rcfg.carry_over and not cfg.is_transformer:
                 raise ValueError("mc_samples requires carry_over=False")
-        if mesh is not None:
-            # shard_map (not GSPMD propagation): each dp shard runs the FULL
-            # single-chip compute path — fused decode+CE, pallas LSTM
-            # recurrence, flash attention — on its local batch columns.
-            # Under plain in_shardings the opaque pallas calls would force
-            # all-gathers, so mesh mode used to fall back to XLA paths;
-            # with shard_map the kernels are per-device and need nothing
-            # from GSPMD. Chains/batches split as contiguous column blocks.
-            from jax.sharding import PartitionSpec as P
-
-            assert "dp" in mesh.axis_names, "scorer mesh needs a 'dp' axis"
-            self._dp = mesh.shape["dp"]
-            b3 = P(None, None, "dp")  # (n|U, T, B) batches
-            h3 = P(None, "dp", None)  # (L, G, H) carries
-            # per-shard gather plans: (dp, K) idx/seg + (dp,) n_real
-            pk = (P("dp", None), P("dp", None), P("dp"))
-
-            def carry_sharded(params, params2, m2, data, tgt, mask, ce_mask,
-                              h1, h2, N, *packs):
-                cm_specs = () if ce_mask is None else (b3,)
-                cm_args = () if ce_mask is None else (ce_mask,)
-
-                def body(p, p2, m2_, d, t, m, c1, c2, *rest):
-                    cm = rest[0] if cm_args else None
-                    pks = rest[len(cm_args):]
-                    return self._carry_chunk_impl(
-                        p, p2, m2_, d, t, m, cm, c1, c2, N,
-                        *(x[0] for x in pks)
-                    )
-
-                f = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P(), P(), P(), b3, b3, b3, h3, h3)
-                    + cm_specs + pk[: len(packs)],
-                    out_specs=(P(None, "dp"), h3, h3),
-                    check_vma=False,
-                )
-                return f(params, params2, m2, data, tgt, mask, h1, h2,
-                         *cm_args, *packs)
-
-            def bucket_sharded(params, params2, m2, data, tgt, mask, ce_mask,
-                               *packs):
-                cm_specs = () if ce_mask is None else (b3,)
-                cm_args = () if ce_mask is None else (ce_mask,)
-
-                def body(p, p2, m2_, d, t, m, *rest):
-                    cm = rest[0] if cm_args else None
-                    pks = rest[len(cm_args):]
-                    return self._bucket_chunk_impl(
-                        p, p2, m2_, d, t, m, cm, *(x[0] for x in pks)
-                    )
-
-                f = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P(), P(), P(), b3, b3, b3)
-                    + cm_specs + pk[: len(packs)],
-                    out_specs=P(None, "dp"),
-                    check_vma=False,
-                )
-                return f(params, params2, m2, data, tgt, mask,
-                         *cm_args, *packs)
-
-            self._carry_step = jax.jit(carry_sharded, static_argnums=(9,))
-            self._bucket_step = jax.jit(bucket_sharded)
-
-            def packed_sharded(params, params2, m2, data, tgt, mask, reset,
-                               h1, h2, G_l, N, n_seg_l, idx, seg, n_real):
-                """Packed-time carry over a dp mesh: chains split as
-                contiguous column blocks (a chain never crosses shards), so
-                each shard runs the FULL packed impl — in-kernel resets,
-                fused CE — on its local chains with a shard-local gather
-                plan. G_l/n_seg_l are PER-SHARD chain/segment counts."""
-                b2 = P(None, "dp")   # (T, G*N) packed blocks
-                h3 = P(None, "dp", None)
-
-                def body(p, p2, m2_, d, t, m, r, c1, c2, i_, s_, n_):
-                    return self._packed_carry_impl(
-                        p, p2, m2_, d, t, m, r, c1, c2, G_l, N, n_seg_l,
-                        i_[0], s_[0], n_[0])
-
-                f = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P(), P(), P(), b2, b2, b2, b2, h3, h3,
-                              P("dp", None), P("dp", None), P("dp")),
-                    out_specs=(P("dp"), h3, h3),
-                    check_vma=False,
-                )
-                return f(params, params2, m2, data, tgt, mask, reset,
-                         h1, h2, idx, seg, n_real)
-
-            self._packed_step = jax.jit(packed_sharded, static_argnums=(9, 10, 11))
-
-            def tm_packed_sharded(params, params2, m2, data, tgt, segs,
-                                  positions, n_seg_l, idx, seg, n_real):
-                """Sequence-packed TM scoring over a dp mesh: packed columns
-                split across shards; each shard runs the full packed impl on
-                its local columns with a shard-local gather plan (seg ids are
-                per-shard item ranks). n_seg_l is the PER-SHARD (padded)
-                segment count."""
-                b4 = P(None, None, "dp")  # (n, T, Bc) column blocks
-
-                def body(p, p2, m2_, d, t, sg, pos, i_, s_, n_):
-                    return self._tm_packed_impl(
-                        p, p2, m2_, d, t, sg, pos, n_seg_l, i_[0], s_[0], n_[0])
-
-                f = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P(), P(), P(), b4, b4, b4, b4,
-                              P("dp", None), P("dp", None), P("dp")),
-                    out_specs=P("dp"),
-                    check_vma=False,
-                )
-                return f(params, params2, m2, data, tgt, segs, positions,
-                         idx, seg, n_real)
-
-            self._tm_packed_step = jax.jit(tm_packed_sharded, static_argnums=(7,))
-
-            def rnn_packed_sharded(params, params2, m2, data, tgt, mask,
-                                   reset, n_seg_l, idx, seg, n_real):
-                """No-carry packed recurrent scoring over a dp mesh — same
-                column sharding as tm_packed_sharded."""
-                b4 = P(None, None, "dp")
-
-                def body(p, p2, m2_, d, t, m, r, i_, s_, n_):
-                    return self._rnn_packed_impl(
-                        p, p2, m2_, d, t, m, r, n_seg_l, i_[0], s_[0], n_[0])
-
-                f = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(P(), P(), P(), b4, b4, b4, b4,
-                              P("dp", None), P("dp", None), P("dp")),
-                    out_specs=P("dp"),
-                    check_vma=False,
-                )
-                return f(params, params2, m2, data, tgt, mask, reset,
-                         idx, seg, n_real)
-
-            self._rnn_packed_step = jax.jit(rnn_packed_sharded, static_argnums=(7,))
-        else:
-            self._dp = 1
-            self._carry_step = jax.jit(self._carry_chunk_impl, static_argnums=(9,))
-            self._bucket_step = jax.jit(self._bucket_chunk_impl)
-            self._packed_step = jax.jit(
-                self._packed_carry_impl, static_argnums=(9, 10, 11))
-            self._tm_packed_step = jax.jit(self._tm_packed_impl, static_argnums=(7,))
-            self._rnn_packed_step = jax.jit(self._rnn_packed_impl, static_argnums=(7,))
+        _steps.install_steps(self, mesh)
         if rcfg.xl_mems:
             u = cfg.uncertainty
             std_layers = (
@@ -299,365 +151,15 @@ class BatchScorer:
                 raise ValueError(
                     "xl_mems provides its own cross-utterance context; it is "
                     "incompatible with splice_len/context files")
-            self._xl_mem_step = jax.jit(self._xl_mem_impl)
-            self._xl_score_step = jax.jit(self._xl_score_impl)
-            self._tm_step = jax.jit(self._tm_impl)
+            _steps.install_xl_steps(self)
 
+    # selection gates, re-exposed where the tests and profiling tools
+    # historically found them
     def _packed_allowed(self) -> bool:
-        """Packed-time carry-over: each chain's utterances lie consecutively
-        along ONE time axis with per-utterance exact (capped) lengths and
-        in-kernel state resets at utterance starts — ~2-3x fewer sequential
-        recurrence steps than per-utterance padded slots. Every recurrent
-        core threads reset_mask (standard, Bayes, GP, Gauss-legacy,
-        variational). Runs dp-sharded on a mesh (chains split as contiguous
-        column blocks, one full packed impl per shard). Interpolated scoring
-        (same-family pairs) rides the packed layout via the fused
-        interpolated decode (use_fused_ce encodes the pair constraints);
-        XL / MC fall back to the slotted layout."""
-        cfg, rcfg = self.cfg, self.rcfg
-        return (
-            rcfg.carry_over
-            and not cfg.is_transformer
-            and (self.interp == 0 or not self.cfg2.is_transformer)
-            and self.use_fused_ce
-            and rcfg.mc_samples == 0
-            and not rcfg.xl_mems
-            and os.environ.get("BAYESLM_PACKED_CARRY", "1") != "0"
-        )
+        return _packed.carry_allowed(self)
 
-    def _fused_scores(self, params, h, tgt, mask):
-        from ..ops.ce_pallas import fused_decode_ce
-
-        ce = fused_decode_ce(h, params["embedding"], params["decoder_b"], tgt)
-        return (ce * mask).sum(axis=0)
-
-    def _interp_m2(self):
-        """Decoder-side constants for fused interpolated CE, built once.
-
-        inter_flag=1 (logit interpolation, ref :157-163): the pre-scaled
-        concatenated decoder ``concat(a*W1, (1-a)*W2)`` (V, D1+D2) + mixed
-        bias, so the interpolated logits are one matmul over concatenated
-        hiddens. Kept in float32 like the stored params; the CE kernel casts
-        to the activation dtype per call (same as the single-model path).
-        inter_flag=2 (score interpolation, `…copy.py`:244-264): just the
-        second model's tied decoder."""
-        if not self.interp:
-            return None
-        if self._m2_cache is None:
-            a = float(self.rcfg.inter_alpha)
-            W1, b1 = self.params["embedding"], self.params["decoder_b"]
-            W2, b2 = self.params2["embedding"], self.params2["decoder_b"]
-            if self.interp == 1:
-                # scale in f32, store in the compute dtype: the CE kernel
-                # casts emb to the activation dtype per call, so matching it
-                # here makes that cast a no-op (skips a ~(V, D1+D2) HBM
-                # round trip per device call at flagship geometry)
-                Wcat = jnp.concatenate(
-                    [a * W1.astype(jnp.float32),
-                     (1.0 - a) * W2.astype(jnp.float32)],
-                    axis=1).astype(jnp.dtype(self.cfg.compute_dtype))
-                bmix = a * b1.astype(jnp.float32) + (1.0 - a) * b2.astype(
-                    jnp.float32)
-                self._m2_cache = (Wcat, bmix)
-            else:
-                self._m2_cache = (W2, b2)
-        return self._m2_cache
-
-    def _fused_ce_tokens(self, params, m2, hsel, h2sel, tsel):
-        """Per-token CE over gathered real positions; interpolation-aware."""
-        from ..ops.ce_pallas import fused_decode_ce
-
-        if self.interp == 1:
-            hcat = jnp.concatenate([hsel, h2sel.astype(hsel.dtype)], axis=-1)
-            return fused_decode_ce(hcat, m2[0], m2[1], tsel)
-        if self.interp == 2:
-            a = self.rcfg.inter_alpha
-            ce1 = fused_decode_ce(
-                hsel, params["embedding"], params["decoder_b"], tsel)
-            ce2 = fused_decode_ce(
-                h2sel.astype(hsel.dtype), m2[0], m2[1], tsel)
-            return a * ce1 + (1.0 - a) * ce2
-        return fused_decode_ce(
-            hsel, params["embedding"], params["decoder_b"], tsel)
-
-    # -- padding-free decode: the vocabulary projection dominates rescoring
-    # cost and the padded (T_bucket, B) layout scores ~3-4x more tokens than
-    # exist. The host knows the masks, so it sends gather indices of the
-    # REAL CE positions (idx) and their per-hypothesis segment ids (seg);
-    # the kernel scores only those tokens and a segment-sum assembles
-    # per-hypothesis scores. Entries past ``n_real`` are padding (weight 0).
-    def _fused_scores_packed(self, params, flat_h, flat_tgt, idx, seg, n_real,
-                             n_seg: int, flat_h2=None, m2=None):
-        hsel = jnp.take(flat_h, idx, axis=0)
-        tsel = jnp.take(flat_tgt, idx, axis=0)
-        h2sel = None if flat_h2 is None else jnp.take(flat_h2, idx, axis=0)
-        ce = self._fused_ce_tokens(params, m2, hsel, h2sel, tsel)
-        w = (jnp.arange(idx.shape[0]) < n_real).astype(ce.dtype)
-        return jax.ops.segment_sum(ce * w, seg, num_segments=n_seg)
-
-    # -- vectorized host-side batch builder. The per-slot pad_batch loops +
-    # np.nonzero pack used to cost ~1/3 of a rescoring pass on a 1-core
-    # host; this builds the (R, T, C) batches AND the CE gather plan in a
-    # handful of numpy bulk ops, and ships compact dtypes (uint16 token ids
-    # when the vocab allows, uint8 step masks) — transfers ride a
-    # latency-bound tunnel, so bytes matter.
-    def _build_rows(self, rows, R: int, T: int, C: int, want_ce_mask: bool,
-                    t_offs=None, seg_ids=None):
-        """rows: list of (r, c, in_ids, tgt_ids, n_ctx) hypothesis slots.
-        Returns (data, tgt, step_mask_u8, ce_mask_or_None, plan) where plan
-        is the fused-decode gather plan (idx, seg, n_real) — None when the
-        fused path is off and want_ce_mask instead yields a float32 mask
-        that EXCLUDES spliced-context positions from the score.
-
-        ``t_offs`` (per-row time offset) places each hypothesis at an
-        arbitrary start step inside its (r, c) column — the packed-time
-        carry layout. ``seg_ids`` overrides the default (r*C + c) score
-        segment ids (needed when a column holds several hypotheses)."""
-        n_h = len(rows)
-        id_dtype = np.uint16 if self.cfg.vocab_size <= 0xFFFF else np.int32
-        data = np.zeros((R * T * C,), id_dtype)
-        tgt = np.zeros((R * T * C,), id_dtype)
-        mask = np.zeros((R * T * C,), np.uint8)
-        if n_h == 0:
-            plan = None if want_ce_mask else self._pack_plan(
-                np.zeros((0,), np.int64), np.zeros((0,), np.int64), R * T * C)
-            return (data.reshape(R, T, C), tgt.reshape(R, T, C),
-                    mask.reshape(R, T, C),
-                    np.zeros((R, T, C), np.float32) if want_ce_mask else None,
-                    plan)
-        lens = np.fromiter((min(len(r[2]), T) for r in rows), np.int64, count=n_h)
-        tot = int(lens.sum())
-        if isinstance(rows[0][2], np.ndarray):
-            # native-encoded rows: slicing is a view, concatenate is one copy
-            flat_in = np.concatenate([r[2][:L] for r, L in zip(rows, lens)])
-            flat_tg = np.concatenate([r[3][:L] for r, L in zip(rows, lens)])
-        else:
-            flat_in = np.fromiter(
-                (v for r, L in zip(rows, lens) for v in r[2][:L]),
-                np.int64, count=tot)
-            flat_tg = np.fromiter(
-                (v for r, L in zip(rows, lens) for v in r[3][:L]),
-                np.int64, count=tot)
-        off = np.cumsum(lens) - lens
-        # local_t: position WITHIN the hypothesis — the splice-context
-        # exclusion below must use this, not the packed-layout-shifted
-        # absolute time (t_offs), or context tokens placed at t_off>=n_ctx
-        # would be scored
-        local_t = np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
-        t_vec = local_t
-        if t_offs is not None:
-            t_vec = t_vec + np.repeat(np.asarray(t_offs, np.int64), lens)
-        r_vec = np.repeat(np.fromiter((r[0] for r in rows), np.int64, n_h), lens)
-        c_vec = np.repeat(np.fromiter((r[1] for r in rows), np.int64, n_h), lens)
-        dest = (r_vec * T + t_vec) * C + c_vec
-        data[dest] = flat_in
-        tgt[dest] = flat_tg
-        mask[dest] = 1
-        nc_vec = np.repeat(np.fromiter((r[4] for r in rows), np.int64, n_h), lens)
-        keep = local_t >= nc_vec  # context conditions the model, not the score
-        ce_mask = None
-        plan = None
-        if want_ce_mask:
-            cm = np.zeros((R * T * C,), np.float32)
-            cm[dest[keep]] = 1.0
-            ce_mask = cm.reshape(R, T, C)
-        else:
-            seg_vec = (
-                (r_vec * C + c_vec) if seg_ids is None
-                else np.repeat(np.asarray(seg_ids, np.int64), lens)
-            )
-            plan = self._pack_plan(dest[keep], seg_vec[keep], R * T * C)
-        return (data.reshape(R, T, C), tgt.reshape(R, T, C),
-                mask.reshape(R, T, C), ce_mask, plan)
-
-    @staticmethod
-    def _pack_plan(ce_dest, ce_seg, cap: int):
-        """Pad a gather plan to a 4096-multiple bucket (bounded jit cache);
-        entries past n_real are padding (segment 0, weight 0 on device)."""
-        n = len(ce_dest)
-        K = max(512, -(-n // 4096) * 4096) if n > 512 else 512
-        K = min(max(K, n), max(cap, 1))
-        idx = np.zeros((K,), np.int32)
-        seg = np.zeros((K,), np.int32)
-        idx[:n] = ce_dest
-        seg[:n] = ce_seg
-        return idx, seg, n
-
-    def _split_plan(self, plan, cap_l: int, localize):
-        """Device args for a gather plan. Single device: (idx, seg, n_real)
-        as-is. Mesh: split the global plan into per-dp-shard local plans,
-        pad each to the widest K, stack to (dp, K). ``localize(idx, seg)``
-        returns (shard, lidx0, lseg0, idx_stride, seg_stride); shard s's
-        local entries are lidx0 - s*idx_stride / lseg0 - s*seg_stride."""
-        if self.mesh is None:
-            idx, seg, n = plan
-            return jnp.asarray(idx), jnp.asarray(seg), jnp.asarray(n, jnp.int32)
-        idx, seg, n = plan
-        idx, seg = idx[:n].astype(np.int64), seg[:n].astype(np.int64)
-        shard, lidx0, lseg0, di, ds = localize(idx, seg)
-        packs = []
-        for s in range(self._dp):
-            m = shard == s
-            packs.append(self._pack_plan(lidx0[m] - s * di, lseg0[m] - s * ds,
-                                         cap_l))
-        K = max(p[0].shape[0] for p in packs)
-        idx2 = np.zeros((self._dp, K), np.int32)
-        seg2 = np.zeros((self._dp, K), np.int32)
-        nn = np.zeros((self._dp,), np.int32)
-        for s, (i_, s_, n_) in enumerate(packs):
-            idx2[s, : len(i_)], seg2[s, : len(s_)], nn[s] = i_, s_, n_
-        return jnp.asarray(idx2), jnp.asarray(seg2), jnp.asarray(nn)
-
-    def _plan_args(self, data_shape, plan):
-        """Gather plan over slotted (R, T, C) batches; mesh shards are
-        contiguous column blocks of Cl = C/dp columns."""
-        R, T, C = data_shape
-        Cl = C // self._dp
-
-        def localize(idx, seg):
-            c = idx % C
-            return (c // Cl, (idx // C) * Cl + c,
-                    (seg // C) * Cl + seg % C, Cl, Cl)
-
-        return self._split_plan(plan, R * T * Cl, localize)
-
-    # ------------------------------------------------------------ jit bodies
-    def _tm_impl(self, params, params2, data, tgt, mask):
-        if self.use_fused_ce:
-            h = self.model.apply(
-                {"params": params}, data, deterministic=True, return_hidden=True
-            )
-            return self._fused_scores(params, h, tgt, mask)
-        logits = self.model.apply({"params": params}, data, deterministic=True)
-        if self.interp == 1:
-            logits2 = self.model2.apply({"params": params2}, data, deterministic=True)
-            a = self.rcfg.inter_alpha
-            logits = a * logits + (1.0 - a) * logits2
-            return _masked_ce_sums(logits, tgt, mask)
-        if self.interp == 2:
-            logits2 = self.model2.apply({"params": params2}, data, deterministic=True)
-            a = self.rcfg.inter_alpha
-            return a * _masked_ce_sums(logits, tgt, mask) + (1.0 - a) * _masked_ce_sums(
-                logits2, tgt, mask
-            )
-        return _masked_ce_sums(logits, tgt, mask)
-
-    def _rnn_impl(self, params, params2, data, tgt, step_mask, ce_mask, h1, h2):
-        """``step_mask`` covers every REAL input position (context + hyp) so
-        the recurrence processes them; ``ce_mask`` additionally excludes
-        spliced-context positions from the score. They are identical unless
-        context splicing is active."""
-        if self.use_fused_ce:
-            h, new_h1 = self.model.apply(
-                {"params": params}, data, h1, deterministic=True,
-                step_mask=step_mask, return_hidden=True,
-            )
-            return self._fused_scores(params, h, tgt, ce_mask), new_h1, h2
-        logits, new_h1 = self.model.apply(
-            {"params": params}, data, h1, deterministic=True, step_mask=step_mask
-        )
-        new_h2 = h2
-        if self.interp == 1:
-            logits2, new_h2 = self.model2.apply(
-                {"params": params2}, data, h2, deterministic=True, step_mask=step_mask
-            )
-            a = self.rcfg.inter_alpha
-            logits = a * logits + (1.0 - a) * logits2
-            scores = _masked_ce_sums(logits, tgt, ce_mask)
-        elif self.interp == 2:
-            logits2, new_h2 = self.model2.apply(
-                {"params": params2}, data, h2, deterministic=True, step_mask=step_mask
-            )
-            a = self.rcfg.inter_alpha
-            scores = a * _masked_ce_sums(logits, tgt, ce_mask) + (
-                1.0 - a
-            ) * _masked_ce_sums(logits2, tgt, ce_mask)
-        else:
-            scores = _masked_ce_sums(logits, tgt, ce_mask)
-        return scores, new_h1, new_h2
-
-    def _mc_impl(self, params, data, tgt, step_mask, ce_mask, key):
-        """Monte-Carlo-average predictive scoring: average token
-        probabilities over mc_samples posterior draws, score = -sum log
-        p_avg(target). Generalizes the reference's posterior-mean eval to
-        true MC inference (BASELINE config: Variational Transformer with
-        MC-average inference)."""
-        K = self.rcfg.mc_samples
-        keys = jax.random.split(key, K)
-        B = data.shape[1]
-
-        def one(k):
-            rngs = {"sample": k, "dropout": k}
-            if self.is_tm:
-                logits = self.mc_model.apply(
-                    {"params": params}, data, deterministic=False, rngs=rngs
-                )
-            else:
-                h = init_hidden(
-                    self.cfg.nlayers, B, self.cfg.nhid,
-                    dtype=jnp.dtype(self.cfg.compute_dtype),
-                )
-                logits, _ = self.mc_model.apply(
-                    {"params": params}, data, h, deterministic=False, rngs=rngs,
-                    step_mask=step_mask,
-                )
-            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
-        lps = jax.lax.map(one, keys)  # (K, T, B, V)
-        lp_avg = jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(float(K))
-        token_lp = jnp.take_along_axis(lp_avg, tgt[..., None], axis=-1)[..., 0]
-        return -(token_lp * ce_mask).sum(axis=0)
-
-    def _mc_fused_impl(self, params, data, tgt, step_mask, keys,
-                       idx, seg, n_real):
-        """Fused MC-average predictive scoring over a whole bucket stack.
-
-        data/tgt/step_mask: (n, T, B); keys: (n, K) PRNG keys — row j's draws
-        are split(key(j), K), EXACTLY the legacy per-row path's draws, so the
-        two implementations average the same posterior samples. Per draw k,
-        hidden states for all n rows are collected and the fused CE kernel
-        scores only the real token positions (idx gather plan — this also
-        excludes spliced-context positions from the score, like ce_mask);
-        then  score = -sum_t [logsumexp_k(-ce_{k,t}) - log K]  per segment.
-        The legacy path's (K, T, B, V) log-softmax stack never exists."""
-        from ..ops.ce_pallas import fused_decode_ce
-
-        K = self.rcfg.mc_samples
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        step_mask = step_mask.astype(jnp.float32)
-        n, _, B = tgt.shape
-        tsel = jnp.take(tgt.reshape(-1), idx, axis=0)
-        if not self.is_tm:
-            h0 = init_hidden(
-                self.cfg.nlayers, B, self.cfg.nhid,
-                dtype=jnp.dtype(self.cfg.compute_dtype))
-
-        def one(krow):
-            # krow: (n,) keys — the k-th draw of every row
-            def body(_, inp):
-                d, m, kr = inp
-                rngs = {"sample": kr, "dropout": kr}
-                if self.is_tm:
-                    h = self.mc_model.apply(
-                        {"params": params}, d, deterministic=False,
-                        rngs=rngs, return_hidden=True)
-                else:
-                    h, _ = self.mc_model.apply(
-                        {"params": params}, d, h0, deterministic=False,
-                        rngs=rngs, step_mask=m, return_hidden=True)
-                return None, h
-
-            _, hs = jax.lax.scan(body, None, (data, step_mask, krow))
-            hsel = jnp.take(hs.reshape(-1, hs.shape[-1]), idx, axis=0)
-            return fused_decode_ce(
-                hsel, params["embedding"], params["decoder_b"], tsel)
-
-        ces = jax.lax.map(one, keys.T)  # (K, M) = -log p_k(target)
-        lp_avg = jax.scipy.special.logsumexp(-ces, axis=0) - jnp.log(float(K))
-        w = (jnp.arange(idx.shape[0]) < n_real).astype(lp_avg.dtype)
-        return -jax.ops.segment_sum(
-            lp_avg * w, seg, num_segments=n * B).reshape(n, B)
+    def _packed_nocarry_allowed(self) -> bool:
+        return _packed.nocarry_allowed(self)
 
     # ------------------------------------------------------------ public API
     def score_nbest(
@@ -744,16 +246,12 @@ class BatchScorer:
             enc_all = encode_all_native(nbest, nenc, backward=rc.backward)
         else:
             enc_all = _Lazy()
-        if self.is_tm and self.rcfg.xl_mems:
-            if context_map:
-                raise ValueError(
-                    "xl_mems provides its own cross-utterance context; "
-                    "context_map would be silently ignored")
-            result = self._score_xl(nbest, word2idx, stream_fn, enc_all)
-        elif self.is_tm or not self.rcfg.carry_over:
-            result = self._score_bucketed(nbest, word2idx, enc_all)
-        else:
-            result = self._score_carry(nbest, word2idx, stream_fn, enc_all)
+        if self.is_tm and self.rcfg.xl_mems and context_map:
+            raise ValueError(
+                "xl_mems provides its own cross-utterance context; "
+                "context_map would be silently ignored")
+        layout = layouts.select(self)
+        result = layout.fn(self, nbest, word2idx, stream_fn, enc_all)
         # OOV tally over the encoded inputs (context + hypothesis words
         # mapped to <unk>), the dev scorer's oov_num (`…copy.py`:123-144,
         # printed as a total at :409). Exposed as ``self.oov_stats`` after
@@ -763,766 +261,4 @@ class BatchScorer:
         self.oov_stats = {"total": sum(per_utt.values()), "per_utt": per_utt}
         return result
 
-    # -- Transformer-XL cross-utterance memory (RescoreConfig.xl_mems).
-    # Utterances stay serial per chain (like LSTM carry-over); every
-    # hypothesis of an utterance attends over segment memories built from
-    # the previous utterance's FIRST hypothesis, with positions continuing
-    # from the real memory length — exactly full-context scoring of
-    # [prev; hyp] (the capability the dev scorer's `--model_var XL` gestured
-    # at; its own `mems = tuple()` reset per hypothesis carried nothing,
-    # `…copy.py`:197-209). Memory lengths are bucketed (right-padded +
-    # mem_len masking) so compiles stay bounded.
-    def _xl_mem_impl(self, params, data):
-        """data: (Mb, 1) right-padded previous-first-hyp ids -> per-layer
-        (Mb, 1, E) memories (layer inputs; causal attention keeps the real
-        prefix exact regardless of padding)."""
-        _, mems = self.model.apply(
-            {"params": params}, data, deterministic=True,
-            return_hidden=True, return_mems=True,
-        )
-        return mems
-
-    def _xl_score_impl(self, params, data, tgt, ce_mask, mems, mem_len):
-        B = data.shape[1]
-        mems_b = [jnp.broadcast_to(m, (m.shape[0], B, m.shape[2])) for m in mems]
-        if self.use_fused_ce:
-            h = self.model.apply(
-                {"params": params}, data, deterministic=True, mems=mems_b,
-                mem_len=mem_len, return_hidden=True,
-            )
-            return self._fused_scores(params, h, tgt, ce_mask)
-        logits = self.model.apply(
-            {"params": params}, data, deterministic=True, mems=mems_b,
-            mem_len=mem_len,
-        )
-        return _masked_ce_sums(logits, tgt, ce_mask)
-
-    def _score_xl(self, nbest, word2idx, stream_fn=None, enc_all=None):
-        # The chain dependency here lives in the INPUTS (each utterance's
-        # memory is built from the previous utterance's first-hyp token ids,
-        # known on the host) — not in device results. So every mem-build and
-        # score call is dispatched asynchronously and the whole run syncs
-        # ONCE at the end; a per-utterance np.asarray would pay a ~25 ms
-        # tunnel round trip per utterance.
-        rc = self.rcfg
-        buckets = length_buckets(rc.max_hyp_len)
-        N = max((len(h) for h in nbest.values()), default=1)
-        scores: Dict[tuple, float] = {}
-        last: Dict[str, list] = {}  # chain label -> previous first-hyp ids
-        pending = []  # (device scores handle, key, n_hyps)
-        for k, hyps in nbest.items():
-            label = stream_fn(k) if stream_fn else "_all"
-            enc = enc_all[k]
-            T = bucket_for(max(len(x) for x, _, _, _ in enc), buckets)
-            data, tgt, mask, _ = pad_batch(
-                [x for x, *_ in enc], [y for _, y, *_ in enc], T, N
-            )
-            prev = last.get(label)
-            if prev is None:
-                out = self._tm_step(
-                    self.params, self.params, jnp.asarray(data),
-                    jnp.asarray(tgt), jnp.asarray(mask),
-                )
-            else:
-                Mb = bucket_for(len(prev), buckets)
-                pdata = np.zeros((Mb, 1), np.int32)
-                pdata[: len(prev), 0] = prev
-                mems = self._xl_mem_step(self.params, jnp.asarray(pdata))
-                out = self._xl_score_step(
-                    self.params, jnp.asarray(data), jnp.asarray(tgt),
-                    jnp.asarray(mask), mems,
-                    jnp.asarray(min(len(prev), Mb), jnp.int32),
-                )
-            pending.append((out, k, len(hyps)))
-            if enc:
-                # over-long previous utterance: keep BOS + the TRAILING
-                # tokens (the words adjacent to the next utterance), like
-                # the splice path's context.split()[-splice_len:]
-                ids = list(enc[0][0])  # list() also accepts np.int32 arrays
-                if len(ids) > rc.max_hyp_len:
-                    ids = [ids[0]] + ids[-(rc.max_hyp_len - 1):]
-                last[label] = ids
-        for out, k, n in pending:
-            out = np.asarray(out)
-            for i in range(n):
-                scores[(k, i)] = float(out[i])
-        return self._assemble(nbest, scores)
-
-    def _bucket_chunk_impl(self, params, params2, m2, data, tgt, mask, ce_mask,
-                           idx=None, seg=None, n_real=None):
-        """data/tgt/mask: (n, T, B) — n same-shape batches scored in ONE
-        device call (host round trips cost ~25 ms each through the tunnel).
-        ``idx/seg/n_real``: host-computed gather plan of the real token
-        positions (fused path only) so the vocab projection never scores
-        padding. Inputs arrive in compact transfer dtypes (uint16/uint8).
-        ``m2``: fused-interp decoder constants (see _interp_m2)."""
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        mask = mask.astype(jnp.float32)
-        if ce_mask is not None:
-            ce_mask = ce_mask.astype(jnp.float32)
-        if self.use_fused_ce:
-            B = data.shape[2]
-            if not self.is_tm:
-                cdtype = jnp.dtype(self.cfg.compute_dtype)
-                h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
-            if self.interp and not self.cfg2.is_transformer:
-                h0_2 = init_hidden(
-                    self.cfg2.nlayers, B, self.cfg2.nhid,
-                    dtype=jnp.dtype(self.cfg2.compute_dtype))
-
-            def one_model(model, is_tm, prms, hinit, d, m):
-                if is_tm:
-                    return model.apply(
-                        {"params": prms}, d, deterministic=True,
-                        return_hidden=True)
-                h, _ = model.apply(
-                    {"params": prms}, d, hinit, deterministic=True,
-                    step_mask=m, return_hidden=True)
-                return h
-
-            def body(_, inp):
-                d, t, m = inp
-                h = one_model(self.model, self.is_tm, params,
-                              None if self.is_tm else h0, d, m)
-                if self.interp:
-                    h2 = one_model(
-                        self.model2, self.cfg2.is_transformer, params2,
-                        None if self.cfg2.is_transformer else h0_2, d, m)
-                    return None, (h, h2)
-                return None, h
-
-            _, hs = jax.lax.scan(body, None, (data, tgt, mask))
-            hs2 = None
-            if self.interp:
-                hs, hs2 = hs
-                hs2 = hs2.reshape(-1, hs2.shape[-1])
-            n, _, B = tgt.shape
-            scores = self._fused_scores_packed(
-                params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, seg, n_real, n * B, hs2, m2,
-            )
-            return scores.reshape(n, B)
-        if self.is_tm:
-            def body(_, inp):
-                d, t, m, cm = inp
-                return None, self._tm_impl(params, params2, d, t, cm)
-        else:
-            B = data.shape[2]
-            cdtype = jnp.dtype(self.cfg.compute_dtype)
-            h = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
-            cfg2 = self.cfg2 if self.interp else self.cfg
-            h2 = init_hidden(cfg2.nlayers, B, cfg2.nhid,
-                             dtype=jnp.dtype(cfg2.compute_dtype))
-
-            def body(_, inp):
-                d, t, m, cm = inp
-                s, _, _ = self._rnn_impl(params, params2, d, t, m, cm, h, h2)
-                return None, s
-
-        _, scores = jax.lax.scan(body, None, (data, tgt, mask, ce_mask))
-        return scores  # (n, B)
-
-    # -- sequence-PACKED transformer scoring: several hypotheses share one
-    # time-axis column (best-fit-decreasing bin packing), positions restart
-    # per segment, and attention is causal-within-segment via an additive
-    # (B, 1, T, T) mask. Removes the ~1.3-1.4x bucket-padding waste the
-    # per-hypothesis layout pays on every FFN/attention matmul, and compiles
-    # ONE shape instead of one per length bucket.
-    def _tm_packed_impl(self, params, params2, m2, data, tgt, segs, positions,
-                        n_seg: int, idx, seg, n_real):
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        T = data.shape[1]
-        tril = jnp.tril(jnp.ones((T, T), bool))
-        eye = jnp.eye(T, dtype=bool)
-
-        def body(_, inp):
-            d, sg, pos = inp
-            sq = sg.astype(jnp.int32).T  # (B, T)
-            same = sq[:, :, None] == sq[:, None, :]
-            # causal within one's own segment; padding (seg 0) rows attend
-            # themselves so their (discarded) softmax stays finite
-            valid = (same & tril[None]) | eye[None]
-            m = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
-            h = self.model.apply(
-                {"params": params}, d, deterministic=True, return_hidden=True,
-                positions=pos.astype(jnp.int32), pack_mask=m,
-            )
-            if self.interp:
-                h2 = self.model2.apply(
-                    {"params": params2}, d, deterministic=True,
-                    return_hidden=True,
-                    positions=pos.astype(jnp.int32), pack_mask=m,
-                )
-                return None, (h, h2)
-            return None, h
-
-        _, hs = jax.lax.scan(body, None, (data, segs, positions))
-        hs2 = None
-        if self.interp:
-            hs, hs2 = hs
-            hs2 = hs2.reshape(-1, hs2.shape[-1])
-        return self._fused_scores_packed(
-            params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-            idx, seg, n_real, n_seg, hs2, m2,
-        )
-
-    # -- the recurrent no-carry twin: independent hypotheses share packed
-    # columns with ZERO-state resets at segment starts (reset_src = -1
-    # builds an all-zero selection-matrix row in the Pallas reset kernels,
-    # so a reset reads zeros instead of a chain-source state).
-    def _rnn_packed_impl(self, params, params2, m2, data, tgt, mask, reset,
-                         n_seg: int, idx, seg, n_real):
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        mask = mask.astype(jnp.float32)
-        reset = reset.astype(jnp.float32)
-        B = data.shape[2]
-        cdtype = jnp.dtype(self.cfg.compute_dtype)
-        h0 = init_hidden(self.cfg.nlayers, B, self.cfg.nhid, dtype=cdtype)
-        src = jnp.full((B,), -1, jnp.int32)
-        if self.interp:
-            h0_2 = init_hidden(
-                self.cfg2.nlayers, B, self.cfg2.nhid,
-                dtype=jnp.dtype(self.cfg2.compute_dtype))
-
-        def body(_, inp):
-            d, m, r = inp
-            h, _ = self.model.apply(
-                {"params": params}, d, h0, deterministic=True,
-                step_mask=m, reset_mask=r, reset_src=src, return_hidden=True,
-            )
-            if self.interp:
-                h2, _ = self.model2.apply(
-                    {"params": params2}, d, h0_2, deterministic=True,
-                    step_mask=m, reset_mask=r, reset_src=src,
-                    return_hidden=True,
-                )
-                return None, (h, h2)
-            return None, h
-
-        _, hs = jax.lax.scan(body, None, (data, mask, reset))
-        hs2 = None
-        if self.interp:
-            hs, hs2 = hs
-            hs2 = hs2.reshape(-1, hs2.shape[-1])
-        return self._fused_scores_packed(
-            params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-            idx, seg, n_real, n_seg, hs2, m2,
-        )
-
-    def _packed_nocarry_allowed(self) -> bool:
-        rc = self.rcfg
-        env = "BAYESLM_PACKED_TM" if self.is_tm else "BAYESLM_PACKED_NOCARRY"
-        return (
-            self.use_fused_ce
-            and rc.mc_samples == 0
-            and not rc.xl_mems
-            and (self.interp == 0
-                 or self.cfg2.is_transformer == self.cfg.is_transformer)
-            and os.environ.get(env, "1") != "0"
-        )
-
-    def _score_packed_nocarry(self, nbest, enc_all):
-        import bisect
-
-        rc = self.rcfg
-        items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
-        for key, hyps in nbest.items():
-            for i, (x, y, nc, _) in enumerate(enc_all[key]):
-                items.append((key, i, x, y, nc))
-        if not items:
-            return self._assemble(nbest, {})
-        # same truncation as the bucketed path: the last bucket boundary is
-        # max_hyp_len, so over-long hypotheses score their first max_hyp_len
-        # tokens in both layouts
-        cap = rc.max_hyp_len
-        items = [(k, i, x[:cap], y[:cap], nc) for (k, i, x, y, nc) in items]
-        T = max(128, -(-(rc.max_hyp_len + 2) // 64) * 64)
-        # best-fit decreasing: place each hypothesis in the open column with
-        # the smallest sufficient remaining capacity
-        order = sorted(range(len(items)), key=lambda i: -len(items[i][2]))
-        rems: list = []  # sorted (remaining, col)
-        n_cols = 0
-        place = {}  # item index -> (col, t_off, slot)
-        fills = []  # per-col (used, n_slots)
-        for i in order:
-            L = min(len(items[i][2]), T)
-            j = bisect.bisect_left(rems, (L, -1))
-            if j < len(rems):
-                r, col = rems.pop(j)
-            else:
-                r, col = T, n_cols
-                n_cols += 1
-                fills.append([0, 0])
-            used, slot = fills[col]
-            place[i] = (col, used, slot)
-            fills[col] = [used + L, slot + 1]
-            if r - L > 0:
-                bisect.insort(rems, (r - L, col))
-        # columns per device-call batch: ~6k real+pad tokens each (the
-        # bucketed path's measured sweet spot at this geometry); under a
-        # mesh, columns split across dp shards in contiguous blocks
-        dp = self._dp
-        Bc = max(8, -(-rc.batch_size * 24 // T // 8) * 8)
-        Bc = -(-Bc // dp) * dp
-        Bl = Bc // dp
-        n = -(-n_cols // Bc)
-        # per-shard item ranks: shard-local contiguous segment ids so each
-        # shard's fused-CE segment_sum writes a dense (n_seg_l,) vector
-        ranks, counts = [], [0] * dp
-        for i in range(len(items)):
-            s_ = (place[i][0] % Bc) // Bl
-            ranks.append((s_, counts[s_]))
-            counts[s_] += 1
-        n_seg_l = -(-max(max(counts), 1) // 1024) * 1024  # bounded jit keys
-        rows, t_offs, seg_ids = [], [], []
-        if self.is_tm:
-            segs_np = np.zeros((n, T, Bc), np.int16)
-            pos_np = np.zeros((n, T, Bc), np.int16)
-        else:
-            rst_np = np.zeros((n, T, Bc), np.uint8)
-        for i, it in enumerate(items):
-            col, off, slot = place[i]
-            r, c = col // Bc, col % Bc
-            L = min(len(it[2]), T)
-            rows.append((r, c, it[2], it[3], it[4]))
-            t_offs.append(off)
-            s_, k_ = ranks[i]
-            seg_ids.append(s_ * n_seg_l + k_)
-            if self.is_tm:
-                segs_np[r, off : off + L, c] = slot + 1
-                pos_np[r, off : off + L, c] = np.arange(L, dtype=np.int16)
-            elif off > 0:
-                rst_np[r, off, c] = 1  # zero-state reset at the segment start
-        data, tgt, mask, _, plan = self._build_rows(
-            rows, n, T, Bc, want_ce_mask=False,
-            t_offs=t_offs, seg_ids=seg_ids)
-        def localize(gidx, gseg):
-            # columns split as contiguous blocks of Bl; segment ids are
-            # already shard-major (s*n_seg_l + rank)
-            col = gidx % Bc
-            return (col // Bl, (gidx // Bc) * Bl + col, gseg, Bl, n_seg_l)
-
-        idx, seg, n_real = self._split_plan(plan, n * T * Bl, localize)
-        p2 = self.params2 if self.interp else None
-        m2 = self._interp_m2()
-        if self.is_tm:
-            out = self._tm_packed_step(
-                self.params, p2, m2, jnp.asarray(data), jnp.asarray(tgt),
-                jnp.asarray(segs_np), jnp.asarray(pos_np), n_seg_l,
-                idx, seg, n_real)
-        else:
-            out = self._rnn_packed_step(
-                self.params, p2, m2, jnp.asarray(data), jnp.asarray(tgt),
-                jnp.asarray(mask), jnp.asarray(rst_np), n_seg_l,
-                idx, seg, n_real)
-        out = np.asarray(out).reshape(dp, n_seg_l)
-        scores = {}
-        for i, it in enumerate(items):
-            s_, k_ = ranks[i]
-            scores[(it[0], it[1])] = float(out[s_, k_])
-        return self._assemble(nbest, scores)
-
-    # -- global length-bucketed batching (transformer / no carry-over)
-    def _score_bucketed(self, nbest, word2idx, enc_all):
-        if self._packed_nocarry_allowed():
-            return self._score_packed_nocarry(nbest, enc_all)
-        rc = self.rcfg
-        items = []  # (key, idx, in_ids, tgt_ids, n_ctx)
-        for key, hyps in nbest.items():
-            for i, (x, y, nc, _) in enumerate(enc_all[key]):
-                items.append((key, i, x, y, nc))
-        buckets = length_buckets(rc.max_hyp_len)
-        by_bucket: Dict[int, list] = {}
-        for it in items:
-            by_bucket.setdefault(bucket_for(len(it[2]), buckets), []).append(it)
-
-        scores: Dict[tuple, float] = {}
-        p2 = self.params2 if self.interp else self.params
-        fused = self.use_fused_mc if rc.mc_samples > 0 else self.use_fused_ce
-        for T, group in sorted(by_bucket.items()):
-            Bc = -(-rc.batch_size // self._dp) * self._dp  # divisible by dp
-            n = (len(group) + Bc - 1) // Bc
-            rows = [
-                (i // Bc, i % Bc, it[2], it[3], it[4])
-                for i, it in enumerate(group)
-            ]
-            data, tgt, mask, ce_mask, plan = self._build_rows(
-                rows, n, T, Bc, want_ce_mask=not fused)
-            if rc.mc_samples > 0 and self.use_fused_mc:
-                # same draws as the legacy per-row path: row j uses
-                # split(key(j), K)
-                keys = jnp.stack([
-                    jax.random.split(jax.random.key(j), rc.mc_samples)
-                    for j in range(n)
-                ])
-                out = np.asarray(self._mc_fused_step(
-                    self.params, jnp.asarray(data), jnp.asarray(tgt),
-                    jnp.asarray(mask), keys,
-                    *self._plan_args(data.shape, plan),
-                ))
-            elif rc.mc_samples > 0:
-                outs = [
-                    self._mc_step(
-                        self.params, jnp.asarray(data[j].astype(np.int32)),
-                        jnp.asarray(tgt[j].astype(np.int32)),
-                        jnp.asarray(mask[j].astype(np.float32)),
-                        jnp.asarray(ce_mask[j]), jax.random.key(j),
-                    )
-                    for j in range(n)
-                ]
-                out = np.stack([np.asarray(o) for o in outs])
-            else:
-                if fused:
-                    extra = self._plan_args(data.shape, plan)
-                    cm = None
-                else:
-                    extra = ()
-                    cm = jnp.asarray(ce_mask)
-                out = np.asarray(
-                    self._bucket_step(
-                        self.params, p2, self._interp_m2(),
-                        jnp.asarray(data), jnp.asarray(tgt),
-                        jnp.asarray(mask), cm, *extra,
-                    )
-                )  # (n, Bc)
-            for i, (key, hid, _, _, _) in enumerate(group):
-                scores[(key, hid)] = float(out[i // Bc, i % Bc])
-
-        return self._assemble(nbest, scores)
-
-    # -- serial utterances, batched hypotheses (exact carry-over).
-    # The whole utterance chain runs ON DEVICE as a lax.scan over utterances
-    # (one chunked device call instead of one per utterance): a host round
-    # trip costs ~25 ms through the TPU tunnel, which would dominate the
-    # sub-ms per-utterance compute. Utterances are padded to a common
-    # (T_bucket, N) shape per chunk; the step_mask machinery keeps the
-    # carried hidden exact at each hypothesis's true length.
-    def _carry_chunk_impl(self, params, params2, m2, data, tgt, mask, ce_mask,
-                          h1, h2, N: int, idx=None, seg=None, n_real=None):
-        """data/tgt/mask: (U, T, G*N) — U serial utterance slots over G
-        parallel chains of N hypotheses; h1/h2: (layers, G, H) carried;
-        idx/seg/n_real: real-token gather plan (fused decode path). Inputs
-        arrive in compact transfer dtypes (uint16/uint8). ``m2``: fused
-        interpolated-decode constants (see _interp_m2)."""
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        mask = mask.astype(jnp.float32)
-        if ce_mask is not None:
-            ce_mask = ce_mask.astype(jnp.float32)
-
-        # shape-agnostic over each carry leaf (the interpolation model may
-        # have a different nlayers/nhid geometry than the main model)
-        def bcast(c):
-            # (L, G, H) -> (L, G*N, H): each chain's state feeds its N hyps
-            def f(a):
-                L_, G_, H_ = a.shape
-                return jnp.broadcast_to(
-                    a[:, :, None, :], (L_, G_, N, H_)).reshape(L_, G_ * N, H_)
-            return jax.tree.map(f, c)
-
-        def first_hyp(nh):
-            # (L, G*N, H) -> (L, G, H): carry each chain's FIRST hypothesis
-            # (ref :261-274)
-            def f(a):
-                L_, B_, H_ = a.shape
-                return a.reshape(L_, B_ // N, N, H_)[:, :, 0, :]
-            return jax.tree.map(f, nh)
-
-        if self.use_fused_ce:
-            # Collect pre-decoder states inside the scan; decode+CE happens
-            # ONCE per chunk with the fused Pallas kernel OUTSIDE the scan
-            # (a pallas call inside a large scan body explodes remote-compile
-            # time), and only over the REAL token positions (idx/w/seg
-            # gather plan) — the vocab projection dominates rescoring cost
-            # and padded layouts otherwise score ~3-4x more tokens than
-            # exist. Hidden stack: (U, T, G*N, H) bf16.
-            def per_utt_h(carry, inp):
-                c1, c2 = carry
-                d_t, t_t, m_t = inp
-                hseq, nh1 = self.model.apply(
-                    {"params": params}, d_t, bcast(c1), deterministic=True,
-                    step_mask=m_t, return_hidden=True,
-                )
-                if self.interp:
-                    hseq2, nh2 = self.model2.apply(
-                        {"params": params2}, d_t, bcast(c2),
-                        deterministic=True, step_mask=m_t, return_hidden=True,
-                    )
-                    return (first_hyp(nh1), first_hyp(nh2)), (hseq, hseq2)
-                return (first_hyp(nh1), c2), hseq
-
-            (h1, h2), hs = jax.lax.scan(
-                per_utt_h, (h1, h2), (data, tgt, mask)
-            )
-            hs2 = None
-            if self.interp:
-                hs, hs2 = hs
-                hs2 = hs2.reshape(-1, hs2.shape[-1])
-            U, _, GN = tgt.shape
-            scores = self._fused_scores_packed(
-                params, hs.reshape(-1, hs.shape[-1]), tgt.reshape(-1),
-                idx, seg, n_real, U * GN, hs2, m2,
-            ).reshape(U, GN)
-            return scores, h1, h2
-
-        def per_utt(carry, inp):
-            c1, c2 = carry
-            d_t, t_t, m_t, cm_t = inp
-            scores, nh1, nh2 = self._rnn_impl(
-                params, params2, d_t, t_t, m_t, cm_t, bcast(c1), bcast(c2)
-            )
-            return (first_hyp(nh1), first_hyp(nh2)), scores
-
-        (h1, h2), scores = jax.lax.scan(
-            per_utt, (h1, h2), (data, tgt, mask, ce_mask)
-        )
-        return scores, h1, h2  # scores: (U, G*N)
-
-    # -- packed-time carry-over (see _packed_allowed). Layout per chunk:
-    # ONE (T_pack, G*N) sequence; chain g's utterances occupy consecutive
-    # time segments of exact (max_hyp_len-capped) length; a reset event at
-    # each segment start replaces every column's recurrent state with its
-    # chain's column-0 state (= the previous utterance's FIRST hypothesis at
-    # its true length, held frozen by the step mask — exactly the
-    # reference's carry-over, :261-274). ~2-3x fewer sequential recurrence
-    # steps than per-utterance padded slots, and one kernel launch per
-    # layer per chunk instead of one per utterance.
-    def _packed_carry_impl(self, params, params2, m2, data, tgt, mask, reset,
-                           h1, h2, G: int, N: int, n_seg: int,
-                           idx, seg, n_real):
-        data = data.astype(jnp.int32)
-        tgt = tgt.astype(jnp.int32)
-        mask = mask.astype(jnp.float32)
-        reset = reset.astype(jnp.float32)
-        B = data.shape[1]
-
-        # shape-agnostic over each carry leaf: the second (interpolation)
-        # model may have a different nlayers/nhid geometry
-        def bcast(c):
-            def f(a):
-                L_, G_, H_ = a.shape
-                return jnp.broadcast_to(
-                    a[:, :, None, :], (L_, G_, N, H_)).reshape(L_, G_ * N, H_)
-            return jax.tree.map(f, c)
-
-        def first_hyp(nh):
-            def f(a):
-                L_, B_, H_ = a.shape
-                return a.reshape(L_, B_ // N, N, H_)[:, :, 0, :]
-            return jax.tree.map(f, nh)
-
-        reset_src = (jnp.arange(B, dtype=jnp.int32) // N) * N
-        hseq, nh = self.model.apply(
-            {"params": params}, data, bcast(h1), deterministic=True,
-            step_mask=mask, reset_mask=reset, reset_src=reset_src,
-            return_hidden=True,
-        )
-        hseq2, nh2 = None, h2
-        if self.interp:
-            hseq2, nh2 = self.model2.apply(
-                {"params": params2}, data, bcast(h2), deterministic=True,
-                step_mask=mask, reset_mask=reset, reset_src=reset_src,
-                return_hidden=True,
-            )
-            nh2 = first_hyp(nh2)
-            hseq2 = hseq2.reshape(-1, hseq2.shape[-1])
-        scores = self._fused_scores_packed(
-            params, hseq.reshape(-1, hseq.shape[-1]), tgt.reshape(-1),
-            idx, seg, n_real, n_seg, hseq2, m2,
-        )
-        return scores, first_hyp(nh), nh2
-
-    def _plan_args_packed(self, T: int, G: int, N: int, plan):
-        """Gather plan over packed-carry (T, G*N) batches. Mesh: chains
-        split as contiguous column blocks of Gl = G/dp chains; indices,
-        columns AND the packed segment ids ((u*G + g)*N + c) are
-        re-localized per shard."""
-        Gl = G // self._dp
-        Bl = Gl * N
-        B = G * N
-
-        def localize(idx, seg):
-            col = idx % B
-            g = col // N
-            u = seg // (G * N)
-            c = seg % N
-            return (g // Gl, (idx // B) * Bl + col,
-                    (u * Gl + g) * N + c, Bl, Gl * N)
-
-        return self._split_plan(plan, T * Bl, localize)
-
-    def _score_carry_packed(self, nbest, word2idx, stream_fn=None, enc_all=None):
-        rc = self.rcfg
-        N = max((len(h) for h in nbest.values()), default=1)
-        streams: "OrderedDict[str, list]" = OrderedDict()
-        for k in nbest:
-            label = stream_fn(k) if stream_fn else "_all"
-            streams.setdefault(label, []).append(k)
-        stream_keys = list(streams.values())
-        # dp sharding splits g-major column blocks: pad with empty chains so
-        # whole chains land on one shard (same convention as the slotted path)
-        while len(stream_keys) % self._dp != 0:
-            stream_keys.append([])
-        G = len(stream_keys)
-        Gl = G // self._dp  # per-shard chains (== G on a single device)
-        U_total = max(len(s) for s in stream_keys)
-        cap = rc.max_hyp_len
-        cdtype = jnp.dtype(self.cfg.compute_dtype)
-        carry = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
-        carry2 = None
-        p2, m2 = None, None
-        if self.interp:
-            carry2 = init_hidden(
-                self.cfg2.nlayers, G, self.cfg2.nhid,
-                dtype=jnp.dtype(self.cfg2.compute_dtype))
-            p2, m2 = self.params2, self._interp_m2()
-        scores: Dict[tuple, float] = {}
-        pending = []
-        U_CHUNK = min(rc.carry_chunk_utts, U_total)
-        for s in range(0, U_total, U_CHUNK):
-            U = min(U_CHUNK, U_total - s)
-            # pass 1: per-chain segment offsets (exact capped lengths)
-            segs = {}  # (g, u) -> (key, t_off, segT)
-            t_pack = 1
-            for g, skeys in enumerate(stream_keys):
-                off = 0
-                for u in range(U):
-                    if s + u >= len(skeys):
-                        continue
-                    k = skeys[s + u]
-                    segT = min(
-                        max((len(x) for x, *_ in enc_all[k]), default=1), cap)
-                    segs[(g, u)] = (k, off, segT)
-                    off += segT
-                t_pack = max(t_pack, off)
-            T = -(-t_pack // 64) * 64  # coarse bucket: bounded compiles
-            # pass 2: rows + reset events
-            rows, t_offs, seg_ids = [], [], []
-            reset_np = np.zeros((T, G * N), np.uint8)
-            slot_key = {}
-            for (g, u), (k, off, segT) in segs.items():
-                if off > 0:
-                    reset_np[off, g * N : (g + 1) * N] = 1
-                for c, (x, y, nc, _) in enumerate(enc_all[k]):
-                    if len(x) > segT:
-                        x, y = x[:segT], y[:segT]
-                    rows.append((0, g * N + c, x, y, nc))
-                    t_offs.append(off)
-                    seg_ids.append((u * G + g) * N + c)
-                slot_key[(u, g)] = k
-            data, tgt, mask, _, plan = self._build_rows(
-                rows, 1, T, G * N, want_ce_mask=False,
-                t_offs=t_offs, seg_ids=seg_ids)
-            idx, seg, n = self._plan_args_packed(T, G, N, plan)
-            out, carry, carry2 = self._packed_step(
-                self.params, p2, m2, jnp.asarray(data[0]), jnp.asarray(tgt[0]),
-                jnp.asarray(mask[0]), jnp.asarray(reset_np), carry, carry2,
-                Gl, N, U * Gl * N,
-                idx, seg, n,
-            )
-            pending.append((out, slot_key, U))
-
-        for out, slot_key, U in pending:
-            # mesh: shard s holds chains [s*Gl, (s+1)*Gl) -> (dp, U, Gl, N)
-            o = np.asarray(out).reshape(self._dp, U, Gl, N)
-            for (u, g), k in slot_key.items():
-                for i in range(len(nbest[k])):
-                    scores[(k, i)] = float(o[g // Gl, u, g % Gl, i])
-        return self._assemble(nbest, scores)
-
-    def _score_carry(self, nbest, word2idx, stream_fn=None, enc_all=None):
-        if self._packed_allowed():
-            return self._score_carry_packed(nbest, word2idx, stream_fn, enc_all)
-        rc = self.rcfg
-        buckets = length_buckets(rc.max_hyp_len)
-        N = max((len(h) for h in nbest.values()), default=1)
-        keys = list(nbest.keys())
-
-        # partition into independent chains, preserving order within each
-        streams: "OrderedDict[str, list]" = OrderedDict()
-        for k in keys:
-            label = stream_fn(k) if stream_fn else "_all"
-            streams.setdefault(label, []).append(k)
-        stream_keys = list(streams.values())
-        # dp sharding splits the g-major column blocks: pad with empty
-        # chains (all-zero masks) so whole chains land on one shard
-        while len(stream_keys) % self._dp != 0:
-            stream_keys.append([])
-        G = len(stream_keys)
-        U_total = max(len(s) for s in stream_keys)
-
-        enc = enc_all
-        cdtype = jnp.dtype(self.cfg.compute_dtype)
-        carry1 = init_hidden(self.cfg.nlayers, G, self.cfg.nhid, dtype=cdtype)
-        # the interpolation model may have its own geometry (ref loads an
-        # independent baseline checkpoint, :457-472)
-        cfg2 = self.cfg2 if self.interp else self.cfg
-        carry2 = init_hidden(
-            cfg2.nlayers, G, cfg2.nhid, dtype=jnp.dtype(cfg2.compute_dtype))
-        scores: Dict[tuple, float] = {}
-        pending = []  # (device scores handle, slot_key) per chunk; ONE sync
-        U_CHUNK = min(rc.carry_chunk_utts, U_total)
-        for s in range(0, U_total, U_CHUNK):
-            U = min(U_CHUNK, U_total - s)  # exact tail (jit key per size)
-            # Per-chunk time bucket: T covers only the utterances in THIS
-            # chunk window, so one long utterance inflates padding for its
-            # own chunk only, not the whole run (geometric buckets keep the
-            # number of compiled shapes bounded, like the bucketed path).
-            chunk_max = max(
-                (len(x)
-                 for skeys in stream_keys
-                 for k in skeys[s : s + U_CHUNK]
-                 for x, *_ in enc[k]),
-                default=1,
-            )
-            T = bucket_for(chunk_max, buckets)
-            rows = []
-            slot_key = {}
-            for g, skeys in enumerate(stream_keys):
-                for u in range(U):
-                    if s + u >= len(skeys):
-                        continue
-                    k = skeys[s + u]
-                    rows.extend(
-                        (u, g * N + c, x, y, nc)
-                        for c, (x, y, nc, _) in enumerate(enc[k])
-                    )
-                    slot_key[(u, g)] = k
-            data, tgt, mask, ce_mask, plan = self._build_rows(
-                rows, U, T, G * N, want_ce_mask=not self.use_fused_ce)
-            if self.use_fused_ce:
-                extra = self._plan_args(data.shape, plan)
-                cm = None
-            else:
-                extra = ()
-                cm = jnp.asarray(ce_mask)
-            out, carry1, carry2 = self._carry_step(
-                self.params, self.params2 if self.interp else self.params,
-                self._interp_m2(),
-                jnp.asarray(data), jnp.asarray(tgt), jnp.asarray(mask),
-                cm, carry1, carry2, N, *extra,
-            )
-            pending.append((out, slot_key))
-            # short utterance slots in the ragged tail have all-zero masks:
-            # hidden frozen, so each chain's carried state stays exact
-            # across chunks. The device handle is NOT synced here — the
-            # next chunk's encode/build runs while this one computes.
-
-        for out, slot_key in pending:
-            out = np.asarray(out)  # (U, G*N); blocks on first chunk only
-            for (u, g), k in slot_key.items():
-                for i in range(len(nbest[k])):
-                    scores[(k, i)] = float(out[u, g * N + i])
-
-        return self._assemble(nbest, scores)
-
-
-    @staticmethod
-    def _assemble(nbest, scores):
-        out = OrderedDict()
-        for key, hyps in nbest.items():
-            out[key] = [(hyp, scores[(key, i)]) for i, hyp in enumerate(hyps)]
-        return out
+    _assemble = staticmethod(assemble)
