@@ -78,8 +78,11 @@ class SearchRunner:
         (loss, new_hidden), grads = jax.value_and_grad(
             self._loss_and_hidden, has_aux=True
         )(params, arch, batch, rngs)
+        # weight_decay=1e-5: the search loop's SGD decays network weights
+        # (train_search_bayes.py:387-388), unlike train.py's wd=0
         params, opt_state, _ = sgd_momentum_step(
-            params, grads, opt_state, lr, self.tcfg.clip, self.tcfg.momentum
+            params, grads, opt_state, lr, self.tcfg.clip, self.tcfg.momentum,
+            weight_decay=1e-5,
         )
         return params, opt_state, loss, new_hidden
 
@@ -100,16 +103,19 @@ class SearchRunner:
             variables = self.model.init(rngs, tokens, hidden, arch, deterministic=True)
         return variables["params"], arch
 
-    def run(self, corpus, epochs: Optional[int] = None, log=print) -> SearchResult:
+    def run(self, corpus, epochs: Optional[int] = None, log=print,
+            init=None) -> SearchResult:
+        """``init``: optional (params, arch) override — the same-init twin
+        harness imports the reference supernet's exact initial weights
+        (tools/nas_sameinit_twin.py)."""
         tcfg = self.tcfg
         epochs = epochs or tcfg.epochs
         train_rows = batchify(corpus.train, tcfg.batch_size)
         valid_rows = batchify(corpus.valid, tcfg.batch_size)
-        tr_d, tr_t = windows(train_rows, tcfg.seq_len)
-        va_d, va_t = windows(valid_rows, tcfg.seq_len)
-        kl_scale = jnp.asarray(tcfg.seq_len / train_rows.shape[0], jnp.float32)
+        n_tr, n_va = train_rows.shape[0], valid_rows.shape[0]
+        kl_scale = jnp.asarray(tcfg.seq_len / n_tr, jnp.float32)
 
-        params, arch = self.init_params(tcfg.seed)
+        params, arch = init if init is not None else self.init_params(tcfg.seed)
         a_state = self.architect.init(arch)
         opt_state = init_opt_state(params)
         root = jax.random.key(tcfg.seed)
@@ -121,13 +127,24 @@ class SearchRunner:
             # every architect step (architect.py:62-67 discards its output).
             hidden = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
             hidden_valid = init_hidden(self.cfg.nlayers, tcfg.batch_size, self.cfg.nhid)
-            for b in range(tr_d.shape[0]):
+            for b, i in enumerate(range(0, n_tr - 1, tcfg.seq_len)):
                 k = jax.random.fold_in(jax.random.fold_in(root, epoch), b)
                 kd, ks, kg = jax.random.split(k, 3)
                 rngs = {"dropout": kd, "sample": ks, "gumbel": kg}
-                vb = b % max(va_d.shape[0], 1)
-                train_batch = (jnp.asarray(tr_d[b]), jnp.asarray(tr_t[b]), hidden, kl_scale)
-                valid_batch = (jnp.asarray(va_d[vb]), jnp.asarray(va_t[vb]), hidden_valid, kl_scale)
+                # reference batch windows (train_search_bayes.py:247-249):
+                # the train window is the epoch's i-th seq_len slice incl.
+                # the ragged tail; the VALID window starts at token offset
+                # i % (n_va - 1) — an unaligned sliding slice, not a
+                # window-index lookup
+                T = min(tcfg.seq_len, n_tr - 1 - i)
+                vi = i % (n_va - 1)
+                Tv = min(tcfg.seq_len, n_va - 1 - vi)
+                train_batch = (jnp.asarray(train_rows[i : i + T]),
+                               jnp.asarray(train_rows[i + 1 : i + 1 + T]),
+                               hidden, kl_scale)
+                valid_batch = (jnp.asarray(valid_rows[vi : vi + Tv]),
+                               jnp.asarray(valid_rows[vi + 1 : vi + 1 + Tv]),
+                               hidden_valid, kl_scale)
                 # architect step on validation data, then weight step
                 a_state = self.architect.step(a_state, params, train_batch, valid_batch, rngs)
                 params, opt_state, loss, hidden = self._w_step(

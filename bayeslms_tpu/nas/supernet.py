@@ -86,16 +86,23 @@ class SearchEncoderLayer(nn.Module):
         """weights: (2,) blend of [standard, stochastic] branch outputs."""
         src2 = self.self_attn(src, attn_mask, deterministic)
         src = self.norm1(src + self.drop(src2, deterministic=deterministic))
-        mid = self.drop(
-            jax.nn.gelu(self.linear1(src), approximate=False), deterministic=deterministic
-        )
-        std_out = self.linear2(mid)
         if self.mode == "bayes":
+            mid = self.drop(
+                jax.nn.gelu(self.linear1(src), approximate=False),
+                deterministic=deterministic,
+            )
+            std_out = self.linear2(mid)
             sto_out = self.branch(mid, deterministic=deterministic)
+            src2 = weights[0] * std_out + weights[1] * sto_out
         else:
+            # GaussTransSearchEncoderLayer blends at the MID level — the
+            # GPNN replaces linear1+activation, then ONE dropout + the
+            # shared linear2 see the blended activations
+            # (model_search_bayes.py:235-238)
             gp = self.branch(src, deterministic=deterministic)
-            sto_out = self.linear2(self.drop(gp, deterministic=deterministic))
-        src2 = weights[0] * std_out + weights[1] * sto_out
+            mid_blend = weights[0] * jax.nn.gelu(
+                self.linear1(src), approximate=False) + weights[1] * gp
+            src2 = self.linear2(self.drop(mid_blend, deterministic=deterministic))
         src = self.norm2(src + self.drop(src2, deterministic=deterministic))
         return src
 
@@ -139,10 +146,10 @@ class TransformerSupernet(nn.Module):
         x = self.drop(x + self.pe[:T, None, :], deterministic=deterministic)
         for l, layer in enumerate(self.layers):
             x = layer(x, w[l, 0], mask, deterministic)
-            # KL of the stochastic branch, scaled by its arch weight
-            # (train_search_bayes.py:300-326 toggles .sample and adds the
-            # branch KLs of every layer).
-            self.sow("losses", "kl", w[l, 0, 1] * layer.branch_kl())
+            # UNWEIGHTED branch KL: the reference adds every layer's
+            # gpnn.kl_divergence() regardless of arch weights
+            # (train_search_bayes.py:289-293, recipe default T_bayes_pos=FFN)
+            self.sow("losses", "kl", layer.branch_kl())
         logits = x @ self.embedding.T + self.decoder_b
         return logits
 
@@ -167,9 +174,15 @@ class LSTMSearchCell(nn.Module):
         self.b_ih = self.param("b_ih", tinit.zeros(), (4 * H,))
         self.b_hh = self.param("b_hh", tinit.zeros(), (4 * H,))
         if self.mode == "bayes":
+            # per-gate ``Bayes`` branch modules (model_search_bayes.py:790-853)
+            # stored as concatenated [in, forget, cell, out] row blocks; each
+            # has weight AND bias posteriors (bias_mean inits to zero)
             stdv = 1.0 / math.sqrt(H)
             self.br_mean = self.param("branch_mean", init, (4 * H, IN + H))
             self.br_lgstd = self.param("branch_lgstd", gaussian.lgstd_init(stdv), (4 * H, IN + H))
+            self.br_bias_mean = self.param("branch_bias_mean", tinit.zeros(), (4 * H,))
+            self.br_bias_lgstd = self.param(
+                "branch_bias_lgstd", gaussian.lgstd_init(stdv), (4 * H,))
         else:
             self.branches = [
                 GPNN(IN + H, H,
@@ -188,11 +201,17 @@ class LSTMSearchCell(nn.Module):
         w_hh_t = self.w_hh.T.astype(dtype)
 
         if self.mode == "bayes":
+            # The reference's search forward runs at the POSTERIOR MEAN: the
+            # train loop flips `.sample = True` only AFTER the forward
+            # (train_search_bayes.py:271-278), so the flag ever only gates
+            # kl_divergence(); Bayes.forward's sampled-weight branch is dead
+            # during search. Branch bias included (F.linear(inputs, w, b)).
             w_br = self.br_mean
-            if not deterministic:
-                w_br = w_br + gaussian.sample_diff(self.make_rng("sample"), self.br_lgstd)
             wx, wh = w_br[:, : self.input_size], w_br[:, self.input_size :]
-            br_xg = (x.reshape(T * B, -1) @ wx.T.astype(dtype)).reshape(T, B, 4 * H)
+            br_xg = (
+                x.reshape(T * B, -1) @ wx.T.astype(dtype)
+                + self.br_bias_mean.astype(dtype)
+            ).reshape(T, B, 4 * H)
             gp = None
         else:
             # GP branches over cat(x, h): hoist the x-part of each gate's GP
@@ -211,7 +230,10 @@ class LSTMSearchCell(nn.Module):
         def step(carry, inp):
             h, c = carry
             xg_t, brx_t = inp
-            std = xg_t + h @ w_hh_t + self.b_hh.astype(dtype)
+            # bias quirk kept for parity: the reference adds bias_ih to BOTH
+            # projections and never uses bias_hh
+            # (model_search_bayes.py:691-692, same as GPLSTMCell's quirk)
+            std = xg_t + h @ w_hh_t + self.b_ih.astype(dtype)
             std_g = jnp.split(std, 4, axis=-1)
             if self.mode == "bayes":
                 br = brx_t + h @ wh.T.astype(dtype)
@@ -221,8 +243,10 @@ class LSTMSearchCell(nn.Module):
             brx_g = jnp.split(brx_t, 4, axis=-1)
             for g in range(4):
                 if self.mode == "bayes":
-                    pre = gate_w[g, 0] * std_g[g] + gate_w[g, 1] * br_g[g]
-                    outs.append(acts[g](pre))
+                    # POST-activation blend (model_search_bayes.py:695-706):
+                    # act(std_gate)*p0 + act(bayes_gate)*p1
+                    outs.append(gate_w[g, 0] * acts[g](std_g[g])
+                                + gate_w[g, 1] * acts[g](br_g[g]))
                 else:
                     from ..models.layers import ACTS
 
@@ -243,7 +267,14 @@ class LSTMSearchCell(nn.Module):
 
     def branch_kl(self):
         if self.mode == "bayes":
-            return gaussian.kl_std_normal(self.br_mean, self.br_lgstd)
+            # sum of the four per-gate Bayes.kl_divergence() terms, each
+            # mean-reduced WITH -1 over its own (H, IN+H) weight block and
+            # (H,) bias (model_search_bayes.py:815-821). Equal-size blocks
+            # make sum-of-block-means = 4 * full-array mean.
+            return 4.0 * (
+                gaussian.kl_std_normal_m1(self.br_mean, self.br_lgstd)
+                + gaussian.kl_std_normal_m1(self.br_bias_mean, self.br_bias_lgstd)
+            )
         return sum(b.kl() for b in self.branches)
 
 
@@ -278,7 +309,10 @@ class LSTMSupernet(nn.Module):
             out, (hT, cT) = cell(out, (h0[l], c0[l]), w[l], deterministic)
             hs.append(hT)
             cs.append(cT)
-            self.sow("losses", "kl", jnp.sum(w[l, :, 1]) * cell.branch_kl())
+            # UNWEIGHTED branch KL: the reference adds every gate module's
+            # kl_divergence() regardless of the arch weights
+            # (train_search_bayes.py:322-330)
+            self.sow("losses", "kl", cell.branch_kl())
         out = self.drop(out, deterministic=deterministic)
         logits = out @ self.embedding.T + self.decoder_b
         return logits, (jnp.stack(hs), jnp.stack(cs))

@@ -27,11 +27,19 @@ def init_opt_state(params) -> OptState:
     return OptState(momentum=jax.tree.map(jnp.zeros_like, params))
 
 
-def sgd_momentum_step(params, grads, opt_state: OptState, lr, clip: float, momentum: float = 0.9):
-    """clip(global_norm) -> buf = m*buf + g -> p -= lr*buf (torch semantics)."""
+def sgd_momentum_step(params, grads, opt_state: OptState, lr, clip: float, momentum: float = 0.9,
+                      weight_decay: float = 0.0):
+    """clip(global_norm) -> buf = m*buf + g -> p -= lr*buf (torch semantics).
+
+    ``weight_decay`` is applied AFTER clipping, inside the optimizer step,
+    exactly like torch.optim.SGD(weight_decay=...) after clip_grad_norm_
+    (the NAS search loop uses 1e-5, train_search_bayes.py:387-388; train.py
+    uses 0)."""
     gnorm = optax.global_norm(grads)
     scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
     grads = jax.tree.map(lambda g: g * scale, grads)
+    if weight_decay:
+        grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
     new_buf = jax.tree.map(lambda b, g: momentum * b + g, opt_state.momentum, grads)
     new_params = jax.tree.map(lambda p, b: p - lr * b, params, new_buf)
     return new_params, OptState(momentum=new_buf), gnorm
