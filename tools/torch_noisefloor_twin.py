@@ -16,8 +16,15 @@ of which draw RNG after construction) is bit-identical to the seed-1111
 twin; every training-time draw (Bayesian weight sampling, dropout)
 comes from the new stream. The reference is otherwise unmodified.
 
+Also works for the NAS search script (``--script .../train_search_bayes.py``):
+its weight-step SGD is likewise built right before "Start training"
+(train_search_bayes.py:387), after the supernet ctor drew all init
+randomness, and the Architect's Adam construction draws none.
+
 Usage:
-  python tools/torch_noisefloor_twin.py --reseed 2222 <train.py args...>
+  python tools/torch_noisefloor_twin.py --reseed 2222 \
+      [--script /root/reference/steps/pytorchnn/train_search_bayes.py] \
+      <script args...>
 """
 
 import random
@@ -32,6 +39,12 @@ import torch.optim as optim  # noqa: E402
 _i = sys.argv.index("--reseed")
 RESEED = int(sys.argv[_i + 1])
 del sys.argv[_i:_i + 2]
+
+SCRIPT = "/root/reference/steps/pytorchnn/train.py"
+if "--script" in sys.argv:
+    _i = sys.argv.index("--script")
+    SCRIPT = sys.argv[_i + 1]
+    del sys.argv[_i:_i + 2]
 
 _SGD = optim.SGD
 _fired = []
@@ -50,6 +63,5 @@ class _ReseedingSGD(_SGD):
 
 optim.SGD = _ReseedingSGD
 
-sys.argv = ["train.py"] + sys.argv[1:]
-runpy.run_path("/root/reference/steps/pytorchnn/train.py",
-               run_name="__main__")
+sys.argv = [SCRIPT.rsplit("/", 1)[-1]] + sys.argv[1:]
+runpy.run_path(SCRIPT, run_name="__main__")

@@ -273,7 +273,15 @@ def reference_pipeline(workdir, nbest, tm, w2i, arpa_path, refs, nn_weight,
 
 def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
         nn_weight=0.8, emsize=16, nhid=16, workdir=None, verbose=True,
-        model="lstm", interp=False):
+        model="lstm", interp=False, ckpt=None, ckpt2=None, l_bayes_pos=3):
+    """``ckpt``: path to a TRAINED reference state_dict (BayesRNNModel,
+    bayes_pos=``l_bayes_pos``) — e.g. a convergence-campaign torch twin —
+    used instead of seeded random weights, so the end-to-end parity run
+    sees realistic score distributions where interpolation and the LMWT
+    sweep actually discriminate (VERDICT r3 item 3). ``ckpt2``: trained
+    baseline RNNModel state_dict for the interp config. Geometry (V, E,
+    H) is inferred from the checkpoint; the synthetic decode's vocab is
+    sized to match."""
     import subprocess
 
     import torch
@@ -287,7 +295,15 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
     subprocess.run(["make", "-C", os.path.join(ROOT, "tools")], check=True,
                    capture_output=True)
 
+    ck = None
+    if ckpt is not None:
+        assert model == "lstm", "trained-checkpoint mode drives the LSTM path"
+        ck = torch.load(ckpt, map_location="cpu")
+        vocab_words, emsize = ck["encoder.weight"].shape
+        nhid = ck["rnn.weight_hh_mean_1"].shape[1]
+
     tmp = workdir or tempfile.mkdtemp(prefix="wer_parity_")
+    os.makedirs(tmp, exist_ok=True)
     words, w2i, words_txt, lats, ref_text, arpa, refs = make_decode(
         tmp, meetings=meetings, utts_per_meeting=utts_per_meeting,
         vocab_words=vocab_words, seed=seed)
@@ -299,7 +315,16 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
     spec.loader.exec_module(ref_mod)
     torch.manual_seed(seed + 1)
     is_tm = model == "transformer"
-    if is_tm:
+    if ck is not None:
+        tm = ref_mod.BayesRNNModel("LSTM", len(words), emsize, nhid, 2,
+                                   dropout=0.0, tie_weights=True,
+                                   bayes_pos=l_bayes_pos)
+        tm.load_state_dict(ck)
+        tm = tm.eval()
+        cfg = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
+                          nhid=nhid, dropout=0.0, uncertainty="Bayesian",
+                          l_bayes_pos=l_bayes_pos)
+    elif is_tm:
         tm = ref_mod.BayesTransformerModel(len(words), emsize, 2, 2 * nhid, 2,
                                            dropout=0.0, tie_weights=True,
                                            bayes_pos="FFN").eval()
@@ -325,7 +350,10 @@ def run(meetings=3, utts_per_meeting=8, vocab_words=40, seed=0,
         # — the production scorer's hardcoded inter_path model, :157-163)
         assert not is_tm, "interp harness variant exercises the LSTM path"
         tm2 = ref_mod.RNNModel("LSTM", len(words), emsize, nhid, 2,
-                               dropout=0.0, tie_weights=True).eval()
+                               dropout=0.0, tie_weights=True)
+        if ckpt2 is not None:
+            tm2.load_state_dict(torch.load(ckpt2, map_location="cpu"))
+        tm2 = tm2.eval()
         cfg2 = ModelConfig(model="LSTM", vocab_size=len(words), emsize=emsize,
                            nhid=nhid, dropout=0.0)
         net2 = build_model(cfg2)
@@ -413,12 +441,28 @@ def main():
     ap.add_argument("--interp", action="store_true",
                     help="logit-level interpolation with a baseline NN "
                          "(inter_flag=1, alpha=0.8)")
+    ap.add_argument("--ckpt", default=None,
+                    help="trained reference BayesRNNModel state_dict to use "
+                         "instead of seeded random weights (geometry "
+                         "inferred; synthetic vocab sized to match)")
+    ap.add_argument("--ckpt2", default=None,
+                    help="trained baseline RNNModel state_dict for --interp")
+    ap.add_argument("--l-bayes-pos", type=int, default=3,
+                    help="bayes_pos the --ckpt was trained with")
+    ap.add_argument("--platform", default=None,
+                    help="e.g. cpu to run off-TPU (parity, not perf)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     _, failures = run(meetings=args.meetings,
                       utts_per_meeting=args.utts_per_meeting,
                       vocab_words=args.vocab_words, seed=args.seed,
                       nn_weight=args.nn_weight, workdir=args.workdir,
-                      model=args.model, interp=args.interp)
+                      model=args.model, interp=args.interp,
+                      ckpt=args.ckpt, ckpt2=args.ckpt2,
+                      l_bayes_pos=args.l_bayes_pos)
     sys.exit(1 if failures else 0)
 
 
