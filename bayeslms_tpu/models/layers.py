@@ -45,9 +45,19 @@ class BayesDense(nn.Module):
     out_features: int
     use_bias: bool = False
     # Fused Pallas sample-and-matmul (ops/bayes_matmul.py): the perturbed
-    # weight never materializes in HBM. None = auto (TPU + aligned dims);
-    # True/False force. The fused path draws its noise from the on-core PRNG
-    # (same distribution as the XLA path, different bits).
+    # weight never materializes in HBM. None = auto; True/False force. The
+    # fused path draws its noise from the on-core PRNG (same distribution
+    # as the XLA path, different bits).
+    #
+    # Auto resolves to the XLA path: sampling only runs under training
+    # (eval scores at the posterior mean), and there the custom-VJP kernel
+    # LOSES to XLA — measured on the flagship Bayes-FFN TM train step
+    # (512/4096x6, V=49k, B=32): fused 17.1 ms vs XLA 14.9 ms = baseline
+    # parity (tools/bayes_overhead_profile.py, r4). XLA fuses the
+    # eps*exp(lgstd) add into the matmul epilogue and its bwd; the (out,in)
+    # temp it materializes is noise next to the FFN matmuls. The kernel
+    # remains available (use_fused=True) for forward-only MC inference
+    # experiments.
     use_fused: Optional[bool] = None
 
     def setup(self):
@@ -64,8 +74,8 @@ class BayesDense(nn.Module):
             self.bias_lgstd = self.param("bias_lgstd", tinit.uniform(bound), (self.out_features,))
 
     def _fused_ok(self, x) -> bool:
-        if self.use_fused is not None:
-            return self.use_fused
+        if not self.use_fused:  # None (auto) or False -> XLA path (see above)
+            return False
         from ..ops.bayes_matmul import bayes_matmul_ok
         from ..ops.kernel_gate import pallas_allowed
 
