@@ -140,11 +140,11 @@ def main():
         m = jnp.ones((L, 1), jnp.float32)
         score_one(params, d, d, m, hidden)[0].block_until_ready()
 
-    # best-of-2 passes: each per-hyp float() sync pays a tunnel round-trip
-    # whose latency varies run to run; min-of-N makes the DENOMINATOR its
-    # fastest (=conservative vs_baseline), like the batched side above
-    loop_hps = 0.0
-    for _ in range(2):
+    # median-of-3 passes (round-4 VERDICT: the published ratio inherited a
+    # single baseline pass's 2-3x tunnel/host noise — give the DENOMINATOR
+    # the same median±spread treatment as the batched numerator)
+    loop_hps_passes = []
+    for _ in range(3):
         n_loop = 0
         t0 = time.perf_counter()
         for key, hyps in loop_items:
@@ -166,7 +166,9 @@ def main():
                     cached = new_h
                 n_loop += 1
             hidden = cached
-        loop_hps = max(loop_hps, n_loop / (time.perf_counter() - t0))
+        loop_hps_passes.append(n_loop / (time.perf_counter() - t0))
+    loop_hps_passes.sort()
+    loop_hps = float(np.median(loop_hps_passes))
 
     print(
         json.dumps(
@@ -179,6 +181,11 @@ def main():
                 "min": round(hps_per_pass[0], 2),
                 "max": round(hps_per_pass[-1], 2),
                 "n": len(hps_per_pass),
+                # baseline-loop dispersion (vs_baseline = median/median)
+                "baseline_hps": round(loop_hps, 2),
+                "baseline_min": round(loop_hps_passes[0], 2),
+                "baseline_max": round(loop_hps_passes[-1], 2),
+                "baseline_n": len(loop_hps_passes),
                 "tokens_per_sec": round(batched_hps * n_tokens / n_total, 2),
             }
         )

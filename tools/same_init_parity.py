@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--l_gauss_pos", default="13")
     ap.add_argument("--l_v_pos", default="11")
     ap.add_argument("--t_v_pos", type=int, default=1)
+    ap.add_argument("--ref-prior-path", default=None,
+                    help="finetune twin: dir with a prior model.pt; the "
+                         "reference's --prior True update (train.py:239-258 "
+                         "— key-filtered state_dict update on the "
+                         "seed-constructed model) is applied to the ref "
+                         "model BEFORE its init is exported, so both "
+                         "sides start from the converged baseline")
     ap.add_argument("--workdir", default="/tmp/same_init")
     ap.add_argument("--platform", default=None,
                     help="e.g. cpu to force off-TPU")
@@ -144,6 +151,17 @@ def main():
                                  args.nlayers, args.dropout, True)
         ref_model = refM.RNNModel("LSTM", V, args.emsize, args.nhid,
                                   args.nlayers, args.dropout, True)
+    if args.ref_prior_path:
+        # the reference's prior load, verbatim semantics (train.py:239-258):
+        # filter the prior dict to keys the finetune model has, update.
+        with open(os.path.join(args.ref_prior_path, "model.pt"), "rb") as f:
+            prior_dict = torch.load(f, map_location="cpu")
+        model_dict = ref_model.state_dict()
+        prior_dict = {k: v for k, v in prior_dict.items() if k in model_dict}
+        model_dict.update(prior_dict)
+        ref_model.load_state_dict(model_dict)
+        print(f"[finetune] prior update applied to the seed-{args.seed} "
+              f"model: {len(prior_dict)} tensors carried over")
     sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
 
     # 2. import + train here
