@@ -359,6 +359,29 @@ class GPLSTMCell(nn.Module):
         if t <= 3 and g in (1, 2, 3, 4, 5, 6):
             drawn = self.gpnn.draw(deterministic)  # one sample per sequence
             w, b, coef = drawn
+
+            # Gate-6 fused Pallas recurrence: the GPNN replaces the whole
+            # hidden projection, so the step is the standard fused LSTM
+            # recurrence with the 3-act mixture applied to the VMEM-resident
+            # h @ W' matmul — W'/b'/coef never re-read from HBM, backward
+            # recomputes the mixture (ops/gp_lstm_pallas.py; the lax.scan
+            # fallback below costs ~+5 ms/step at the flagship geometry,
+            # tools/gp_roofline.py).
+            if g == 6 and reset_mask is None:
+                import os as _os
+
+                from ..ops.gp_lstm_pallas import gp6_layer_fused, gp6_pallas_ok
+                from ..ops.kernel_gate import pallas_allowed
+
+                if (
+                    _os.environ.get("BAYESLM_PALLAS_GPLSTM", "1") != "0"
+                    and pallas_allowed()
+                    and self.gpnn.act_set == ("sigmoid", "tanh", "relu")
+                    and gp6_pallas_ok(H, dtype, B)
+                ):
+                    ys, (hT, cT) = gp6_layer_fused(
+                        xg, w, b, coef, h0, c0, step_mask=step_mask)
+                    return ys, (hT, cT)
             if g in (1, 2, 3, 4):
                 in_size = self.input_size
                 w_x, w_h = w[:, :in_size], w[:, in_size:]
@@ -882,7 +905,7 @@ class RecurrentLM(nn.Module):
 
     def __call__(self, tokens, hidden: Hidden, deterministic: bool = True,
                  step_mask=None, return_hidden: bool = False,
-                 reset_mask=None, reset_src=None):
+                 reset_mask=None, reset_src=None, emb_in=None):
         """tokens: (T, B) int32 -> logits (T, B, V), new hidden.
 
         ``step_mask`` (T, B) freezes recurrent state on padded steps so the
@@ -899,7 +922,12 @@ class RecurrentLM(nn.Module):
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        emb = jnp.take(self.embedding, tokens, axis=0).astype(dtype)
+        # ``emb_in``: precomputed embedding rows (T, B, E) — the tensor-
+        # parallel shard_map train step embeds from its local vocab shard
+        # (masked lookup + psum) and bypasses the full-table lookup here
+        # (parallel/train_parallel.py).
+        emb = (jnp.take(self.embedding, tokens, axis=0)
+               if emb_in is None else emb_in).astype(dtype)
         emb = self.drop(emb, deterministic=deterministic)
         if reset_mask is not None:
             out, hidden = self.core(emb, hidden, deterministic, step_mask,

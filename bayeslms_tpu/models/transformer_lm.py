@@ -397,7 +397,8 @@ class TransformerLM(nn.Module):
 
     def __call__(self, tokens, deterministic: bool = True, mems=None,
                  mem_len=None, return_mems: bool = False,
-                 return_hidden: bool = False, positions=None, pack_mask=None):
+                 return_hidden: bool = False, positions=None, pack_mask=None,
+                 emb_in=None):
         """tokens: (T, B) int32 -> logits (T, B, V).
 
         ``mems``: optional per-layer list of (M, B, E) segment memories
@@ -447,7 +448,11 @@ class TransformerLM(nn.Module):
             mask = None
             pos_offset = None
 
-        x = jnp.take(self.embedding, tokens, axis=0).astype(dtype) * math.sqrt(cfg.emsize)
+        # ``emb_in``: precomputed embedding rows (T, B, E) — the tensor-
+        # parallel shard_map train step embeds from its local vocab shard
+        # and bypasses the full-table lookup (parallel/train_parallel.py).
+        x = (jnp.take(self.embedding, tokens, axis=0)
+             if emb_in is None else emb_in).astype(dtype) * math.sqrt(cfg.emsize)
 
         is_emb = cfg.uncertainty == "Bayesian" and cfg.t_bayes_pos == "EMB"
         if is_emb:

@@ -61,9 +61,14 @@ def make_sharded_train_step(trainer: Trainer, mesh: Mesh, params, masked: bool =
         )
         return step, p_sh, b_sh, h_sh
 
-    # tp>1: GSPMD partitions the step (vocab/FFN/gate shardings); the opaque
-    # pallas fast paths are trace-disabled — GSPMD cannot split a Mosaic
-    # call and would all-gather its operands instead (ops/kernel_gate.py).
+    if getattr(trainer, "use_shardmap_tp", False):
+        return _make_shardmap_tp_step(trainer, mesh, params, masked)
+
+    # tp>1 fallback: GSPMD partitions the step (vocab/FFN/gate shardings);
+    # the opaque pallas fast paths are trace-disabled — GSPMD cannot split a
+    # Mosaic call and would all-gather its operands instead
+    # (ops/kernel_gate.py). Reached only when the shard_map tp step above is
+    # ineligible (untied decoder, uneven vocab/batch division, Bayes-EMB).
     if masked:
         def gspmd_step(p, o, h, d, t, lr, ks, k, m):
             from ..ops.kernel_gate import no_pallas
@@ -91,6 +96,172 @@ def make_sharded_train_step(trainer: Trainer, mesh: Mesh, params, masked: bool =
         donate_argnums=(0, 1),
     )
     return step, p_sh, b_sh, h_sh
+
+
+_TP_SHARD_LEAVES = ("embedding", "decoder_b")
+
+
+def _is_vocab_shard(path) -> bool:
+    """True for the top-level vocab-sharded leaves of the tp shard_map step."""
+    if len(path) != 1:
+        return False
+    k = path[0]
+    return (k.key if hasattr(k, "key") else str(k)) in _TP_SHARD_LEAVES
+
+
+def _make_shardmap_tp_step(trainer: Trainer, mesh: Mesh, params, masked: bool):
+    """Tensor-parallel train step as ONE shard_map over the (dp, tp) mesh
+    that keeps every Pallas fast path (round-5: the GSPMD tp path had to
+    trace under no_pallas because Mosaic calls are opaque to GSPMD).
+
+    Layout: the embedding/decoder (tied) and its bias are vocab-sharded
+    over ``tp``; every other parameter is replicated. The batch is sharded
+    over dp x tp for the model body (recurrence / attention run the full
+    single-chip fused-kernel path on B/(dp*tp) columns), then the
+    pre-decoder states are all-gathered over ``tp`` (T*B/dp*H bf16 — a few
+    MB per step over ICI) and each device computes the fused decode+CE
+    partials (ops/ce_pallas.py _shard_lse_t) for the WHOLE tp group's
+    tokens against its LOCAL vocab slice; the global softmax is a tiny
+    logsumexp/psum merge. Embedding lookup is the transpose of the same
+    idea: masked local-shard lookup + psum over tp, fed into the model via
+    ``emb_in`` (the scaling-book reduce-don't-gather recipe in both
+    directions).
+
+    Gradient bookkeeping (exactness, verified by tests/test_multichip.py):
+    each member's loss covers only its OWN token slice (the merged CE is
+    sliced back to the local columns before the mean) — otherwise the
+    tp-redundant loss copies sum at the all_gather/psum transposes and
+    every grad comes out tp x too large. With per-slice losses:
+      - replicated leaves: pmean over tp (sum of slice-mean grads / tp =
+        grad of the group mean), then pmean over dp;
+      - vocab-shard leaves: the collective transposes already accumulate
+        every slice's contribution onto the owning shard, once per member
+        loss -> divide by tp, then pmean over dp (psumming across tp would
+        add grads of DIFFERENT shards);
+      - the KL is computed identically on every member, and pmean over tp
+        preserves it exactly;
+      - clip norm: sqrt(replicated_sq + psum_tp(shard_sq)) so every device
+        applies the identical clip scale (sgd_momentum_step gnorm=).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.registry import sum_losses
+    from ..ops.ce_pallas import _shard_lse_t
+    from ..train.optim import OptState, sgd_momentum_step
+
+    tp_n = mesh.shape["tp"]
+
+    def _pspec(path, leaf):
+        if _is_vocab_shard(path):
+            return P("tp") if leaf.ndim == 1 else P("tp", None)
+        return P()
+
+    p_specs = jax.tree_util.tree_map_with_path(_pspec, params)
+    p_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _pspec(path, leaf)), params
+    )
+    opt_specs = OptState(momentum=p_specs)
+    hP = P(None, ("dp", "tp"), None)
+    bP = P(None, ("dp", "tp"))
+    h_sh = NamedSharding(mesh, hP)  # used uniformly over the (h, c) tuple
+
+    def body(p, o, h, d, t, lr, ks, k, m=None):
+        ti = jax.lax.axis_index("tp")
+        dev = jax.lax.axis_index("dp") * tp_n + ti
+        d_key, s_key = jax.random.split(k)
+        d_key = jax.random.fold_in(d_key, dev)
+        rngs = {"dropout": d_key, "sample": s_key}
+
+        T, B_loc = d.shape
+        d_grp = jax.lax.all_gather(d, "tp", axis=1, tiled=True)  # (T, B_grp)
+        t_grp = jax.lax.all_gather(t, "tp", axis=1, tiled=True)
+
+        def loss_fn(pp):
+            emb_l = pp["embedding"]
+            v_loc = emb_l.shape[0]
+            off = ti * v_loc
+            ids = d_grp.astype(jnp.int32) - off
+            ok = (ids >= 0) & (ids < v_loc)
+            e = jnp.take(emb_l, jnp.clip(ids, 0, v_loc - 1), axis=0)
+            e = jnp.where(ok[..., None], e, jnp.zeros((), e.dtype))
+            e_grp = jax.lax.psum(e, "tp")                    # (T, B_grp, E)
+            e_loc = jax.lax.dynamic_slice_in_dim(e_grp, ti * B_loc, B_loc, 1)
+
+            # The model only touches embedding/decoder_b in the lookup and
+            # the decode — both bypassed here (emb_in + return_hidden) —
+            # but flax still shape-checks declared params, so hand it
+            # full-shape zero stand-ins (dead code, DCE'd by XLA; the real
+            # shards flow through e_grp above and the fused CE below).
+            V = trainer.mcfg.vocab_size
+            pp_model = dict(pp)
+            pp_model["embedding"] = jnp.zeros((V, emb_l.shape[1]), emb_l.dtype)
+            pp_model["decoder_b"] = jnp.zeros((V,), pp["decoder_b"].dtype)
+            out, new_hidden, var = trainer._apply_train_hidden(
+                pp_model, d, h, rngs, emb_in=e_loc)
+            h_grp = jax.lax.all_gather(out, "tp", axis=1, tiled=True)
+
+            tl = t_grp.astype(jnp.int32) - off
+            tl = jnp.where((tl >= 0) & (tl < v_loc), tl, -1)
+            lse, tt = _shard_lse_t(h_grp, emb_l, pp["decoder_b"], tl)
+            lse_k = jax.lax.all_gather(lse, "tp")            # (tp, M)
+            ce = jax.nn.logsumexp(lse_k, axis=0) - jax.lax.psum(tt, "tp")
+            ce = ce.reshape(T, B_loc * tp_n)
+            # local token slice only — see the bookkeeping note above
+            ce_loc = jax.lax.dynamic_slice_in_dim(ce, ti * B_loc, B_loc, 1)
+            if m is None:
+                mle = ce_loc.mean()
+            else:
+                n_grp = jax.lax.psum(m.sum(), "tp")
+                mle = tp_n * (ce_loc * m).sum() / jnp.maximum(n_grp, 1)
+            kl = sum_losses(var.get("losses", {})) * ks
+            return mle + kl, (mle, kl, new_hidden)
+
+        (_, (mle, kl, new_hidden)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: g / tp_n if _is_vocab_shard(path)
+            else jax.lax.pmean(g, "tp"), grads)
+        grads = jax.lax.pmean(grads, "dp")
+        mle = jax.lax.pmean(mle, ("dp", "tp"))
+        kl = jax.lax.pmean(kl, "dp")
+
+        sq = jax.tree_util.tree_map_with_path(
+            lambda path, g: (jnp.sum(jnp.square(g.astype(jnp.float32))),
+                             _is_vocab_shard(path)), grads)
+        leaves = jax.tree_util.tree_leaves(
+            sq, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2)
+        rep_sq = sum((s for s, sh in leaves if not sh), start=jnp.float32(0))
+        shard_sq = sum((s for s, sh in leaves if sh), start=jnp.float32(0))
+        gnorm = jnp.sqrt(rep_sq + jax.lax.psum(shard_sq, "tp"))
+
+        new_p, new_o, gnorm = sgd_momentum_step(
+            p, grads, o, lr, trainer.tcfg.clip, trainer.tcfg.momentum,
+            gnorm=gnorm)
+        return new_p, new_o, new_hidden, mle + kl, mle, kl, gnorm
+
+    if masked:
+        def wrapped(p, o, h, d, t, lr, ks, k, m):
+            return body(p, o, h, d, t, lr, ks, k, m)
+
+        extra = (bP,)
+    else:
+        def wrapped(p, o, h, d, t, lr, ks, k):
+            return body(p, o, h, d, t, lr, ks, k)
+
+        extra = ()
+
+    step = jax.jit(
+        jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(p_specs, opt_specs, (hP, hP), bP, bP, P(), P(), P())
+            + extra,
+            out_specs=(p_specs, opt_specs, (hP, hP), P(), P(), P(), P()),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+    return step, p_sh, NamedSharding(mesh, bP), h_sh
 
 
 def place(tree, shardings):

@@ -114,6 +114,21 @@ class Trainer:
             (self.mesh is None and train_cfg.dp_shards <= 1)
             or self.use_shardmap_dp
         )
+        # tp>1 shard_map step (parallel/train_parallel.py round 5): batch
+        # sharded over dp x tp for the model body (ALL Pallas fast paths
+        # kept), embedding/decoder vocab-sharded over tp with masked-lookup
+        # psum in and fused-CE partial merge out. Supersedes the GSPMD tp
+        # path whenever the fused CE is available and shapes divide evenly.
+        self.use_shardmap_tp = (
+            _fused_base
+            and self.mesh is not None
+            and _tp > 1
+            and model_cfg.vocab_size % _tp == 0
+            and train_cfg.batch_size % (_dp * _tp) == 0
+            and not (model_cfg.is_transformer
+                     and model_cfg.uncertainty == "Bayesian"
+                     and model_cfg.t_bayes_pos == "EMB")
+        )
         # GSPMD mesh variant (ops/ce_pallas.py fused_decode_ce_train_spmd):
         # the same kernels per vocab shard inside shard_map, stitched with a
         # logsumexp merge — no logit materialization per chip and no decoder
@@ -122,6 +137,7 @@ class Trainer:
             _fused_base
             and self.mesh is not None
             and not self.use_shardmap_dp
+            and not self.use_shardmap_tp
             and model_cfg.vocab_size % _tp == 0
             and train_cfg.batch_size % max(_dp, 1) == 0
         )
@@ -187,20 +203,24 @@ class Trainer:
         )
         return logits, hidden, var
 
-    def _apply_train_hidden(self, params, data, hidden, rngs):
-        """Forward returning pre-decoder states (for the fused CE path)."""
+    def _apply_train_hidden(self, params, data, hidden, rngs, emb_in=None):
+        """Forward returning pre-decoder states (for the fused CE path).
+
+        ``emb_in``: precomputed embedding rows — the tensor-parallel
+        shard_map step embeds from its local vocab shard outside the model
+        (parallel/train_parallel.py)."""
         variables = {"params": params}
         if self.priors:
             variables["priors"] = self.priors
         if self.is_tm:
             out, var = self.model.apply(
                 variables, data, deterministic=False, rngs=rngs,
-                mutable=["losses"], return_hidden=True,
+                mutable=["losses"], return_hidden=True, emb_in=emb_in,
             )
             return out, hidden, var
         (out, hidden), var = self.model.apply(
             variables, data, hidden, deterministic=False, rngs=rngs,
-            mutable=["losses"], return_hidden=True,
+            mutable=["losses"], return_hidden=True, emb_in=emb_in,
         )
         return out, hidden, var
 

@@ -28,14 +28,19 @@ def init_opt_state(params) -> OptState:
 
 
 def sgd_momentum_step(params, grads, opt_state: OptState, lr, clip: float, momentum: float = 0.9,
-                      weight_decay: float = 0.0):
+                      weight_decay: float = 0.0, gnorm=None):
     """clip(global_norm) -> buf = m*buf + g -> p -= lr*buf (torch semantics).
 
     ``weight_decay`` is applied AFTER clipping, inside the optimizer step,
     exactly like torch.optim.SGD(weight_decay=...) after clip_grad_norm_
     (the NAS search loop uses 1e-5, train_search_bayes.py:387-388; train.py
-    uses 0)."""
-    gnorm = optax.global_norm(grads)
+    uses 0).
+
+    ``gnorm``: precomputed global norm — the tensor-parallel shard_map step
+    passes a collectively-reduced norm (vocab-shard leaves live on distinct
+    devices, so the local optax.global_norm would be wrong there)."""
+    if gnorm is None:
+        gnorm = optax.global_norm(grads)
     scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
     grads = jax.tree.map(lambda g: g * scale, grads)
     if weight_decay:

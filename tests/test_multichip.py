@@ -523,3 +523,109 @@ def test_sharded_packed_tm_matches_single_device(monkeypatch):
         np.testing.assert_allclose(
             [s for _, s in got[k]], [s for _, s in ref[k]],
             rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def _tp_shardmap_roundtrip(cfg, monkeypatch, dp=2, tp=2, T=6, B=8):
+    """One tp shard_map step vs the single-device fused-CE step: same init,
+    batch, and keys (dropout 0 so the per-device fold-in is moot)."""
+    import bayeslms_tpu.ops.ce_pallas as cp
+    from bayeslms_tpu import TrainConfig
+    from bayeslms_tpu.models.lstm_lm import init_hidden
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.parallel.train_parallel import make_sharded_train_step, place
+    from bayeslms_tpu.train.loop import Trainer
+    from bayeslms_tpu.train.optim import init_opt_state
+
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+    monkeypatch.setattr(cp, "fused_ce_ok", lambda D: True)
+
+    tcfg = TrainConfig(batch_size=B, seq_len=T)
+    single = Trainer(cfg, tcfg)
+    assert single.use_fused_ce_train
+    state = single.init_state(seed=3)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, cfg.vocab_size, (T, B)).astype(np.int32)
+    target = rng.integers(0, cfg.vocab_size, (T, B)).astype(np.int32)
+    hidden = (init_hidden(cfg.nlayers, B, cfg.nhid)
+              if not cfg.is_transformer else (None, None))
+    key = jax.random.key(7)
+    lr = jnp.asarray(0.1, jnp.float32)
+    ks = jnp.asarray(0.01, jnp.float32)
+
+    ref = single._train_step(
+        jax.tree.map(jnp.copy, state.params), init_opt_state(state.params),
+        hidden, jnp.asarray(data), jnp.asarray(target), lr, ks, key,
+    )
+    ref_loss, ref_params = float(ref[3]), jax.device_get(ref[0])
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    mtrainer = Trainer(cfg, tcfg, mesh=mesh)
+    assert mtrainer.use_shardmap_tp, "tp shard_map path must be eligible"
+    with mesh:
+        step, p_sh, b_sh, h_sh = make_sharded_train_step(
+            mtrainer, mesh, state.params)
+        params = place(state.params, p_sh)
+        out = step(
+            params, init_opt_state(params),
+            place(hidden, (h_sh, h_sh)) if hidden[0] is not None else hidden,
+            place(jnp.asarray(data), b_sh), place(jnp.asarray(target), b_sh),
+            lr, ks, key,
+        )
+        sh_loss, sh_params = float(out[3]), jax.device_get(out[0])
+
+    np.testing.assert_allclose(sh_loss, ref_loss, rtol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        ref_params, sh_params,
+    )
+
+
+def test_tp_shardmap_lstm_matches_single_device(monkeypatch):
+    """Round 5: the tp>1 shard_map step (ALL Pallas paths kept — vocab-
+    sharded embed psum in, fused-CE partial merge out) reproduces the
+    single-device step for the LSTM."""
+    from bayeslms_tpu import ModelConfig
+
+    _tp_shardmap_roundtrip(
+        ModelConfig(model="LSTM", vocab_size=4096, emsize=128, nhid=128,
+                    nlayers=2, dropout=0.0),
+        monkeypatch)
+
+
+def test_tp_shardmap_bayes_lstm_matches_single_device(monkeypatch):
+    """Same with gate sampling + KL in play (shared sample key across the
+    mesh = one posterior draw per step, reference semantics; kl/tp grad
+    bookkeeping must restore the exact total)."""
+    from bayeslms_tpu import ModelConfig
+
+    _tp_shardmap_roundtrip(
+        ModelConfig(model="LSTM", vocab_size=4096, emsize=128, nhid=128,
+                    nlayers=2, dropout=0.0, uncertainty="Bayesian",
+                    l_bayes_pos=3),
+        monkeypatch)
+
+
+def test_tp_shardmap_transformer_matches_single_device(monkeypatch):
+    from bayeslms_tpu import ModelConfig
+
+    _tp_shardmap_roundtrip(
+        ModelConfig(model="Transformer", vocab_size=4096, emsize=128,
+                    nhid=64, nlayers=2, nhead=2, dropout=0.0),
+        monkeypatch)
+
+
+def test_tp_shardmap_ineligible_falls_back_to_gspmd(monkeypatch):
+    """Bayes-EMB (stochastic embedding projection) keeps the GSPMD tp path."""
+    import bayeslms_tpu.ops.ce_pallas as cp
+    from bayeslms_tpu import ModelConfig, TrainConfig
+    from bayeslms_tpu.parallel.mesh import make_mesh
+    from bayeslms_tpu.train.loop import Trainer
+
+    monkeypatch.setattr(cp, "fused_ce_ok", lambda D: True)
+    cfg = ModelConfig(model="Transformer", vocab_size=4096, emsize=128,
+                      nhid=64, nlayers=2, nhead=2, dropout=0.0,
+                      uncertainty="Bayesian", t_bayes_pos="EMB")
+    mesh = make_mesh(dp=4, tp=2)
+    tr = Trainer(cfg, TrainConfig(batch_size=8, seq_len=6), mesh=mesh)
+    assert not tr.use_shardmap_tp
+    assert tr.use_fused_ce_train_spmd
