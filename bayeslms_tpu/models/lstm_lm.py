@@ -350,6 +350,30 @@ class GPLSTMCell(nn.Module):
             drawn = self.gpnn.draw(deterministic)
             gp_x = self.gpnn.apply_drawn(x, *drawn, self.gpnn.act_set)
             xg = gp_x  # gates = gpnn(x) + h @ W_hh + b_ih
+
+            # With the GP unit fully hoisted, the recurrence IS the
+            # standard LSTM step (per-step bias = b_ih, the quirk) — route
+            # it through the standard fused train kernel.
+            if reset_mask is None:
+                import os as _os
+
+                from ..ops.kernel_gate import pallas_allowed
+                from ..ops.lstm_pallas import lstm_scan_fused, pallas_lstm_ok
+
+                if (
+                    _os.environ.get("BAYESLM_PALLAS_GPLSTM", "1") != "0"
+                    and pallas_allowed()
+                    and pallas_lstm_ok(H, dtype, batch=B, train=True)
+                ):
+                    m2 = (step_mask if step_mask is not None
+                          else jnp.ones((T, B)))
+                    mask8 = jnp.broadcast_to(
+                        m2.astype(dtype)[:, :, None], (T, B, 8))
+                    ys, _cs, hT, cT = lstm_scan_fused(
+                        xg, self.weights_hh.T.astype(dtype),
+                        self.bias_ih.astype(dtype).reshape(1, 4 * H),
+                        mask8, h0.astype(dtype), c0.astype(dtype))
+                    return ys, (hT, cT)
         else:
             xg = (x.reshape(T * B, -1) @ w_ih_t + b_ih).reshape(T, B, 4 * H)
 
@@ -387,6 +411,28 @@ class GPLSTMCell(nn.Module):
                 w_x, w_h = w[:, :in_size], w[:, in_size:]
                 gp_pre_x = x @ w_x.T.astype(dtype) + b.astype(dtype)
                 drawn = (w_h, coef)
+
+                # Gate-replacement fused recurrence (same treatment as
+                # gate 6): W_hh and the GPNN's h-part concatenate into one
+                # VMEM-resident (H, 5H) block, backward recomputes the
+                # mixture (ops/gp_lstm_pallas.py gpg_layer_fused).
+                if reset_mask is None:
+                    import os as _os
+
+                    from ..ops.gp_lstm_pallas import (gpg_layer_fused,
+                                                      gpg_pallas_ok)
+                    from ..ops.kernel_gate import pallas_allowed
+
+                    if (
+                        _os.environ.get("BAYESLM_PALLAS_GPLSTM", "1") != "0"
+                        and pallas_allowed()
+                        and gpg_pallas_ok(H, dtype, B)
+                    ):
+                        ys, (hT, cT) = gpg_layer_fused(
+                            xg, gp_pre_x, self.weights_hh, self.bias_ih,
+                            w_h, coef, h0, c0, g,
+                            tuple(self.gpnn.act_set), step_mask=step_mask)
+                        return ys, (hT, cT)
             elif g == 6:
                 gp_pre_x = None  # gpnn(h) only
                 drawn = (w, b, coef)

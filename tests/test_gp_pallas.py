@@ -141,5 +141,92 @@ def test_gp6_cell_routes_through_kernel(monkeypatch):
     )
 
 
+
+@pytest.mark.parametrize("gate", [1, 2, 3, 4])
+def test_gpg_cell_kernel_matches_scan(gate, monkeypatch):
+    """Gate-replacement kernel (gates 1-4, incl. gate 2's single-act
+    mixture) vs the scan fallback: identical outputs and grads at the
+    cell level (config 'g3' = gate g, gpnn type 3 — the twin config
+    family, docs/CONVERGENCE.md lstm_gp)."""
+    from bayeslms_tpu import ModelConfig
+    from bayeslms_tpu.models.lstm_lm import GPLSTMCore, init_hidden
+    import bayeslms_tpu.ops.gp_lstm_pallas as gp
+
+    cfg = ModelConfig(model="LSTM", vocab_size=64, emsize=8, nhid=8,
+                      dropout=0.0, uncertainty="Gaussian",
+                      l_gauss_pos=f"{gate}3")
+    core = GPLSTMCore(cfg)
+    rng = np.random.default_rng(gate)
+    x = jnp.asarray(rng.normal(size=(6, 4, 8)).astype(np.float32))
+    hidden = init_hidden(cfg.nlayers, 4, cfg.nhid)
+    params = core.init(jax.random.key(0), x, hidden)["params"]
+
+    outs = {}
+    for on in (True, False):
+        if on:
+            monkeypatch.setattr(gp, "gpg_pallas_ok", lambda *a: True)
+            monkeypatch.delenv("BAYESLM_PALLAS_GPLSTM", raising=False)
+        else:
+            monkeypatch.setenv("BAYESLM_PALLAS_GPLSTM", "0")
+
+        def loss(p):
+            (out, _), _ = core.apply(
+                {"params": p}, x, hidden, False, mutable=["losses"],
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        outs[on] = (loss(params), jax.grad(loss)(params))
+
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        outs[True][1], outs[False][1],
+    )
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_gp7_cell_routes_through_standard_kernel(monkeypatch):
+    """Gate 7 (GPNN replaces the input projection, fully hoisted): the
+    recurrence is the standard step and routes through the standard fused
+    train kernel — outputs/grads identical to the scan fallback."""
+    from bayeslms_tpu import ModelConfig
+    from bayeslms_tpu.models.lstm_lm import GPLSTMCore, init_hidden
+    import bayeslms_tpu.ops.lstm_pallas as lpk
+
+    cfg = ModelConfig(model="LSTM", vocab_size=64, emsize=8, nhid=8,
+                      dropout=0.0, uncertainty="Gaussian", l_gauss_pos="73")
+    core = GPLSTMCore(cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(6, 4, 8)).astype(np.float32))
+    hidden = init_hidden(cfg.nlayers, 4, cfg.nhid)
+    params = core.init(jax.random.key(0), x, hidden)["params"]
+
+    outs = {}
+    for on in (True, False):
+        if on:
+            monkeypatch.setattr(lpk, "pallas_lstm_ok", lambda *a, **k: True)
+            monkeypatch.delenv("BAYESLM_PALLAS_GPLSTM", raising=False)
+        else:
+            monkeypatch.setenv("BAYESLM_PALLAS_GPLSTM", "0")
+
+        def loss(p):
+            (out, _), _ = core.apply(
+                {"params": p}, x, hidden, False, mutable=["losses"],
+                rngs={"dropout": jax.random.key(1)},
+            )
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        outs[on] = (loss(params), jax.grad(loss)(params))
+
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        outs[True][1], outs[False][1],
+    )

@@ -104,6 +104,20 @@ def main():
     if which in ("all", "gp63"):
         r["gp63"] = bench("gp63", ModelConfig(
             uncertainty="Gaussian", l_gauss_pos="63", **base))
+    if which in ("all", "gp13"):
+        # the twin config family (gate 1, type 3) — gate-replacement kernel
+        r["gp13"] = bench("gp13", ModelConfig(
+            uncertainty="Gaussian", l_gauss_pos="13", **base))
+    if which == "gp13-scan":
+        os.environ["BAYESLM_PALLAS_GPLSTM"] = "0"
+        r["gp13-scan"] = bench("gp13-scan", ModelConfig(
+            uncertainty="Gaussian", l_gauss_pos="13", **base))
+        del os.environ["BAYESLM_PALLAS_GPLSTM"]
+    if which == "gp63-scan":
+        os.environ["BAYESLM_PALLAS_GPLSTM"] = "0"
+        r["gp63-scan"] = bench("gp63-scan", ModelConfig(
+            uncertainty="Gaussian", l_gauss_pos="63", **base))
+        del os.environ["BAYESLM_PALLAS_GPLSTM"]
     if which in ("all", "gp63-act1"):
         # trim the GPNN mixture to one cheap activation: swap the class the
         # GP cell constructs for a subclass whose act_set default is (relu,)
