@@ -196,7 +196,10 @@ def test_trainer_fused_ce_spmd_matches_xla_step(monkeypatch):
         model="Transformer", vocab_size=4096, emsize=128, nhid=64, nlayers=1,
         nhead=2, dropout=0.0, uncertainty="none",
     )
-    T, B = 6, 8
+    # B=12 divides dp (4) but NOT dp*tp (8): the round-5 shard_map tp step
+    # is ineligible, so this test pins the GSPMD-fallback spmd-CE path it
+    # was written for (the shard_map step has its own tp_shardmap tests).
+    T, B = 6, 12
     mesh = make_mesh(dp=4, tp=2)
     rng = np.random.default_rng(1)
     data = rng.integers(0, 4096, (T, B)).astype(np.int32)
