@@ -17,6 +17,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Never read the shared .jax_cache from tests: a TPU client killed
+# mid-write can leave a truncated entry that segfaults
+# deserialize_executable, and CPU test compiles are cheap anyway.
+jax.config.update("jax_compilation_cache_dir", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -17,14 +17,19 @@ import jax.numpy as jnp
 import numpy as np
 
 # persistent compile cache (same dir as bench.py): flagship train steps
-# compile in minutes cold on the tunnel chip, seconds warm
+# compile in minutes cold on the tunnel chip, seconds warm. SKIPPED on the
+# CPU backend: tests/test_gp_flops.py imports this module for the FLOPs
+# model, and enabling the shared cache inside a pytest process makes every
+# later test read .jax_cache — a timeout-killed TPU run's truncated entry
+# then segfaults the whole suite in deserialize_executable (seen r5).
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 
